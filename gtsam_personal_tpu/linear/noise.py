@@ -1,0 +1,213 @@
+"""Noise models + robust m-estimator losses, batched.
+
+Reference parity: gtsam/linear/NoiseModel.h (Gaussian/Diagonal/Isotropic/Unit/
+Constrained/Robust, whiten/WhitenSystem) and gtsam/linear/LossFunctions.h
+(the m-estimator zoo). A noise model here carries per-factor-batch arrays with
+leading dimension K; whitening is one batched einsum instead of per-factor
+virtual calls.
+
+Hard constraints (the reference's `Constrained` model with sigma=0 and special
+QR, NoiseModel.h:404) are realized as large-weight penalties — see SURVEY.md §7
+"Robust/constrained noise" for the rationale.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+CONSTRAINED_PENALTY_WEIGHT = 1e6  # squared-info weight substituted for sigma == 0
+
+
+@jax.tree_util.register_pytree_node_class
+class NoiseModel:
+    """kind: 'unit' | 'diag' (data = sqrt-info diagonal [K?, r]) | 'full'
+    (data = sqrt-information matrix S with S^T S = Sigma^{-1}, [K?, r, r]).
+
+    robust: 'none' or an m-estimator name; k is its tuning constant.
+    """
+
+    def __init__(self, kind: str, data: Optional[jnp.ndarray] = None,
+                 robust: str = "none", k: Optional[jnp.ndarray] = None):
+        self.kind = kind
+        self.data = data
+        self.robust = robust
+        self.k = k
+
+    def tree_flatten(self):
+        return (self.data, self.k), (self.kind, self.robust)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, robust = aux
+        data, k = children
+        return cls(kind, data, robust, k)
+
+    def with_robust(self, robust: str, k) -> "NoiseModel":
+        return NoiseModel(self.kind, self.data, robust, jnp.asarray(k))
+
+    def __repr__(self):
+        return f"NoiseModel({self.kind}, robust={self.robust})"
+
+
+# -- factories (reference: NoiseModel::Sigmas/Variances/Covariance/Isotropic) --
+
+def unit() -> NoiseModel:
+    return NoiseModel("unit")
+
+
+def sigmas(s) -> NoiseModel:
+    """Diagonal model from standard deviations; sigma==0 entries become hard
+    constraints via a large penalty weight."""
+    s = jnp.asarray(s)
+    w = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0),
+                  jnp.sqrt(CONSTRAINED_PENALTY_WEIGHT))
+    return NoiseModel("diag", w)
+
+
+def precisions(p) -> NoiseModel:
+    return NoiseModel("diag", jnp.sqrt(jnp.asarray(p)))
+
+
+def isotropic(dim: int, sigma: float, dtype=jnp.float64) -> NoiseModel:
+    return sigmas(jnp.full((dim,), sigma, dtype=dtype))
+
+
+def covariance(cov) -> NoiseModel:
+    """Full Gaussian model: sqrt information from the covariance matrix.
+
+    S = chol(Sigma^{-1})^T upper-triangular so that S^T S = Sigma^{-1};
+    batched over leading dims.
+    """
+    cov = jnp.asarray(cov)
+    info = jnp.linalg.inv(cov)
+    info = 0.5 * (info + jnp.swapaxes(info, -1, -2))
+    L = jnp.linalg.cholesky(info)
+    return NoiseModel("full", jnp.swapaxes(L, -1, -2))
+
+
+def sqrt_information(S) -> NoiseModel:
+    return NoiseModel("full", jnp.asarray(S))
+
+
+def information(info) -> NoiseModel:
+    info = jnp.asarray(info)
+    L = jnp.linalg.cholesky(0.5 * (info + jnp.swapaxes(info, -1, -2)))
+    return NoiseModel("full", jnp.swapaxes(L, -1, -2))
+
+
+def robust(base: NoiseModel, kind: str, k) -> NoiseModel:
+    return base.with_robust(kind, k)
+
+
+# -- whitening ---------------------------------------------------------------
+
+def _broadcast(data, K):
+    """Per-batch noise data may be shared (no leading K) or per-factor."""
+    return data
+
+
+def whiten_residual(noise: NoiseModel, r):
+    """r: [K, rdim] -> whitened residual (no robust weighting)."""
+    if noise.kind == "unit":
+        return r
+    if noise.kind == "diag":
+        return r * noise.data
+    # full: S @ r, batched
+    return jnp.einsum("...ij,...j->...i", noise.data, r)
+
+
+def whiten_system(noise: NoiseModel, r, Js):
+    """Whiten residual [K, rdim] and Jacobian blocks (tuple of [K, rdim, d_s]),
+    then apply sqrt IRLS weights for robust models.
+
+    Reference: NoiseModel::WhitenSystem (linear/NoiseModel.h:88-113) +
+    Robust::WhitenSystem."""
+    rw = whiten_residual(noise, r)
+    if noise.kind == "unit":
+        Jw = Js
+    elif noise.kind == "diag":
+        Jw = tuple(J * noise.data[..., None] for J in Js)
+    else:
+        Jw = tuple(jnp.einsum("...ij,...jk->...ik", noise.data, J) for J in Js)
+    if noise.robust != "none":
+        e = jnp.linalg.norm(rw, axis=-1)
+        sw = jnp.sqrt(robust_weight(noise.robust, e, noise.k))
+        rw = rw * sw[..., None]
+        Jw = tuple(J * sw[..., None, None] for J in Jw)
+    return rw, Jw
+
+
+def error(noise: NoiseModel, r):
+    """Total error contribution: 0.5||r_w||^2, or rho(||r_w||) for robust
+    models (reference: NoiseModelFactor::error / Robust loss semantics)."""
+    rw = whiten_residual(noise, r)
+    sq = jnp.sum(rw * rw, axis=-1)
+    if noise.robust == "none":
+        return 0.5 * jnp.sum(sq)
+    e = jnp.sqrt(sq + 1e-300)
+    return jnp.sum(robust_loss(noise.robust, e, noise.k))
+
+
+# -- m-estimators (reference: linear/LossFunctions.h:66-555) -----------------
+
+def robust_weight(kind: str, e, k):
+    """IRLS weight w(e) with e = whitened residual norm >= 0."""
+    ae = jnp.abs(e)
+    if kind == "huber":
+        return jnp.where(ae <= k, 1.0, k / jnp.maximum(ae, 1e-12))
+    if kind == "cauchy":
+        return k * k / (k * k + e * e)
+    if kind == "geman_mcclure":
+        c2 = k * k
+        return (c2 / (c2 + e * e)) ** 2
+    if kind == "tukey":
+        u = jnp.clip(1.0 - (e / k) ** 2, 0.0, None)
+        return u * u
+    if kind == "welsch":
+        return jnp.exp(-(e / k) ** 2)
+    if kind == "fair":
+        return 1.0 / (1.0 + ae / k)
+    if kind == "dcs":
+        w = 2.0 * k / (k + e * e)
+        return jnp.where(e * e > k, jnp.minimum(w * w, 1.0), 1.0)
+    if kind == "l2_with_dead_zone":
+        d = jnp.clip(ae - k, 0.0, None)
+        return d / jnp.maximum(ae, 1e-12)
+    if kind == "asymmetric_tukey":
+        u = jnp.clip(1.0 - (e / k) ** 2, 0.0, None)
+        return jnp.where(e >= 0, u * u, jnp.ones_like(e))
+    if kind == "asymmetric_cauchy":
+        return jnp.where(e >= 0, k * k / (k * k + e * e), jnp.ones_like(e))
+    raise ValueError(f"unknown robust kind {kind!r}")
+
+
+def robust_loss(kind: str, e, k):
+    """rho(e) such that total factor error = rho(||whitened residual||)."""
+    ae = jnp.abs(e)
+    if kind == "huber":
+        return jnp.where(ae <= k, 0.5 * e * e, k * (ae - 0.5 * k))
+    if kind == "cauchy":
+        return 0.5 * k * k * jnp.log1p((e / k) ** 2)
+    if kind == "geman_mcclure":
+        c2 = k * k
+        return 0.5 * c2 * e * e / (c2 + e * e)
+    if kind == "tukey":
+        c2_6 = k * k / 6.0
+        inside = c2_6 * (1.0 - jnp.clip(1.0 - (e / k) ** 2, 0.0, None) ** 3)
+        return inside
+    if kind == "welsch":
+        return 0.5 * k * k * (1.0 - jnp.exp(-(e / k) ** 2))
+    if kind == "fair":
+        return k * k * (ae / k - jnp.log1p(ae / k))
+    if kind == "dcs":
+        # Dynamic covariance scaling (reference LossFunctions.h DCS::loss)
+        w = 2.0 * k / (k + e * e)
+        return jnp.where(e * e > k, k * e * e / (k + e * e), 0.5 * e * e)
+    if kind == "l2_with_dead_zone":
+        d = jnp.clip(ae - k, 0.0, None)
+        return 0.5 * d * d
+    if kind in ("asymmetric_tukey", "asymmetric_cauchy"):
+        base = robust_loss(kind.replace("asymmetric_", ""), e, k)
+        return jnp.where(e >= 0, base, 0.5 * e * e)
+    raise ValueError(f"unknown robust kind {kind!r}")

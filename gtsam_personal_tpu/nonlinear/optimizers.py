@@ -1,0 +1,209 @@
+"""Nonlinear least-squares optimizers: Gauss-Newton and Levenberg-Marquardt.
+
+Semantics mirror the reference's drivers:
+- convergence test == NonlinearOptimizer::checkConvergence
+  (nonlinear/NonlinearOptimizer.cpp:182): converged when relative AND absolute
+  error decrease fall below thresholds, or error <= errorTol.
+- LM lambda schedule == LevenbergMarquardtOptimizer with
+  useFixedLambdaFactor (nonlinear/LevenbergMarquardtOptimizer.cpp:121-273):
+  try solve at lambda; accept (lambda /= factor) if the error decreased,
+  else reject (lambda *= factor) and retry until lambdaUpperBound.
+- optional diagonal damping (lambda * diag(H)) as in `buildDampedSystem`
+  (LevenbergMarquardtOptimizer.cpp:88).
+
+Two execution styles:
+- host outer loop (`optimize`) with jitted linearize/solve/error steps —
+  flexible, used for correctness and moderate problems;
+- fully-jitted `lax.while_loop` LM (`optimize_lm_jit`) — zero host syncs per
+  iteration, used for benchmarking and TPU deployment.
+"""
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gtsam_personal_tpu.core.graph import FactorGraph
+from gtsam_personal_tpu.core.values import Layout, Values, tree_norm
+from gtsam_personal_tpu.linear.linearize import linearize
+from gtsam_personal_tpu.linear import solvers
+
+
+@dataclass(frozen=True)
+class Params:
+    """Reference analogue: NonlinearOptimizerParams + LevenbergMarquardtParams."""
+    max_iterations: int = 100
+    relative_error_tol: float = 1e-5
+    absolute_error_tol: float = 1e-5
+    error_tol: float = 0.0
+    solver: str = "dense"          # 'dense' | 'pcg'
+    pcg_maxiter: int = 250
+    pcg_tol: float = 1e-8
+    # LM:
+    lambda_initial: float = 1e-5
+    lambda_factor: float = 10.0
+    lambda_upper_bound: float = 1e5
+    lambda_lower_bound: float = 0.0
+    diagonal_damping: bool = False
+    max_inner_tries: int = 10
+    verbose: bool = False
+
+
+def check_convergence(params: Params, old_err, new_err):
+    """Reference: checkConvergence (NonlinearOptimizer.cpp:182)."""
+    if new_err <= params.error_tol:
+        return True
+    abs_dec = old_err - new_err
+    rel_dec = abs_dec / old_err if old_err > 0 else 1.0
+    return abs_dec <= params.absolute_error_tol or rel_dec <= params.relative_error_tol
+
+
+def _solve(lin, layout, lam, diag_damping, params: Params):
+    if params.solver == "pcg":
+        return solvers.solve_pcg(lin, lam, diag_damping,
+                                 maxiter=params.pcg_maxiter, tol=params.pcg_tol)
+    return solvers.solve_dense(lin, layout, lam,
+                               layout.flatten(diag_damping) if diag_damping is not None else None)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _lm_try_step(graph: FactorGraph, values: Values, lam, params: Params):
+    """One linearize + damped solve + retract + error evaluation, jitted."""
+    layout = Layout.of(values)
+    lin = linearize(graph, values)
+    dd = lin.hessian_diagonal() if params.diagonal_damping else None
+    delta = _solve(lin, layout, lam, dd, params)
+    new_values = values.retract(delta)
+    return new_values, graph.error(new_values), tree_norm(delta)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _solve_only(graph: FactorGraph, values: Values, lam, params: Params):
+    layout = Layout.of(values)
+    lin = linearize(graph, values)
+    dd = lin.hessian_diagonal() if params.diagonal_damping else None
+    delta = _solve(lin, layout, lam, dd, params)
+    new_values = values.retract(delta)
+    return new_values, graph.error(new_values), tree_norm(delta)
+
+
+@jax.jit
+def graph_error(graph: FactorGraph, values: Values):
+    return graph.error(values)
+
+
+@dataclass
+class Result:
+    values: Values
+    error: float
+    iterations: int
+    converged: bool
+    lambda_final: float = 0.0
+
+
+def optimize_gn(graph: FactorGraph, values: Values, params: Params = Params()) -> Result:
+    """Gauss-Newton: linearize -> solve -> retract until converged
+    (reference: GaussNewtonOptimizer)."""
+    err = float(graph_error(graph, values))
+    for it in range(params.max_iterations):
+        new_values, new_err, _ = _solve_only(graph, values, 0.0, params)
+        new_err = float(new_err)
+        if params.verbose:
+            print(f"GN iter {it}: error {err:.6g} -> {new_err:.6g}")
+        if not jnp.isfinite(new_err):
+            return Result(values, err, it, False)
+        converged = check_convergence(params, err, new_err)
+        if new_err <= err:
+            values, err = new_values, new_err
+        if converged:
+            return Result(values, err, it + 1, True)
+        if new_err > err:  # diverging and not converged
+            return Result(values, err, it, False)
+    return Result(values, err, params.max_iterations, False)
+
+
+def optimize_lm(graph: FactorGraph, values: Values, params: Params = Params()) -> Result:
+    """Levenberg-Marquardt with the reference's fixed-factor lambda schedule."""
+    err = float(graph_error(graph, values))
+    lam = params.lambda_initial
+    for it in range(params.max_iterations):
+        accepted = False
+        for _ in range(params.max_inner_tries):
+            new_values, new_err, _ = _lm_try_step(graph, values, lam, params)
+            new_err = float(new_err)
+            if jnp.isfinite(new_err) and new_err < err:
+                accepted = True
+                break
+            lam = lam * params.lambda_factor
+            if lam > params.lambda_upper_bound:
+                return Result(values, err, it, False, lam)
+        if not accepted:
+            return Result(values, err, it, False, lam)
+        if params.verbose:
+            print(f"LM iter {it}: error {err:.6g} -> {new_err:.6g} (lambda {lam:.2g})")
+        values, old_err, err = new_values, err, new_err
+        lam = max(lam / params.lambda_factor, params.lambda_lower_bound, 1e-10)
+        if check_convergence(params, old_err, err):
+            return Result(values, err, it + 1, True, lam)
+    return Result(values, err, params.max_iterations, False, lam)
+
+
+@partial(jax.jit, static_argnames=("params", "max_iterations"))
+def optimize_lm_jit(graph: FactorGraph, values: Values, params: Params = Params(),
+                    max_iterations: Optional[int] = None):
+    """Fully-jitted LM: entire optimization is one XLA program
+    (lax.while_loop over iterations, bounded lambda search per iteration).
+    Returns (values, final_error, iterations)."""
+    max_it = max_iterations or params.max_iterations
+    err0 = graph.error(values)
+
+    def try_at(values, lam):
+        layout = Layout.of(values)
+        lin = linearize(graph, values)
+        dd = lin.hessian_diagonal() if params.diagonal_damping else None
+        delta = _solve(lin, layout, lam, dd, params)
+        nv = values.retract(delta)
+        return nv, graph.error(nv)
+
+    def inner(state):
+        # bounded lambda search: scan over max_inner_tries, keep first accept
+        values, err, lam = state
+
+        def body(carry, _):
+            best_v, best_e, lam, accepted = carry
+            nv, ne = try_at(values, lam)
+            good = jnp.logical_and(jnp.isfinite(ne), ne < err)
+            take = jnp.logical_and(good, jnp.logical_not(accepted))
+            best_v = jax.tree.map(lambda a, b: jnp.where(take, b, a), best_v, nv)
+            best_e = jnp.where(take, ne, best_e)
+            new_lam = jnp.where(jnp.logical_or(accepted, take), lam, lam * params.lambda_factor)
+            return (best_v, best_e, new_lam, jnp.logical_or(accepted, take)), None
+
+        (bv, be, lam, acc), _ = jax.lax.scan(
+            body, (values, err, lam, jnp.array(False)), None,
+            length=params.max_inner_tries)
+        return bv, be, lam, acc
+
+    def cond(state):
+        it, values, err, lam, done = state
+        return jnp.logical_and(it < max_it, jnp.logical_not(done))
+
+    def body(state):
+        it, values, err, lam, _ = state
+        nv, ne, nlam, acc = inner((values, err, lam))
+        abs_dec = err - ne
+        rel_dec = jnp.where(err > 0, abs_dec / err, 0.0)
+        conv = jnp.logical_or(
+            ne <= params.error_tol,
+            jnp.logical_or(abs_dec <= params.absolute_error_tol,
+                           rel_dec <= params.relative_error_tol))
+        done = jnp.logical_or(jnp.logical_not(acc), conv)
+        nlam = jnp.maximum(nlam / params.lambda_factor, 1e-10)
+        return it + 1, nv, ne, nlam, done
+
+    state = (jnp.array(0), values, err0, jnp.asarray(params.lambda_initial, dtype=err0.dtype),
+             jnp.array(False))
+    it, values, err, lam, _ = jax.lax.while_loop(cond, body, state)
+    return values, err, it
