@@ -1,0 +1,62 @@
+"""Dataset regression tests over the reference's golden data files
+(examples/Data), mirroring Pose2SLAMExample_g2o / dataset tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gtsam_personal_tpu.slam import dataset
+from gtsam_personal_tpu.nonlinear import optimizers
+from gtsam_personal_tpu.core.values import Values
+
+
+def test_load_w100():
+    graph, initial = dataset.load_2d(dataset.find_example_data("w100.graph"))
+    assert initial["se2"].shape == (100, 3)
+    e0 = float(optimizers.graph_error(graph, initial))
+    assert np.isfinite(e0) and e0 > 0
+
+
+def test_optimize_w100():
+    graph, initial = dataset.load_2d(dataset.find_example_data("w100.graph"))
+    res = optimizers.optimize_lm(graph, initial, optimizers.Params(solver="dense"))
+    assert res.converged
+    assert res.error < float(optimizers.graph_error(graph, initial))
+    # GTSAM solves w100 to a small final error; sanity bound
+    assert res.error < 100.0
+
+
+def test_load_city10000_structure():
+    graph, initial = dataset.load_2d(dataset.find_example_data("city10000.g2o"))
+    n = initial["se2"].shape[0]
+    assert n == 10000
+    assert graph.num_factors > n  # loop closures present
+    e0 = float(optimizers.graph_error(graph, initial))
+    assert np.isfinite(e0)
+
+
+def test_load_sphere2500_structure():
+    graph, initial = dataset.load_3d(dataset.find_example_data("sphere2500.txt"))
+    assert initial["se3"].shape[0] == 2500
+    e0 = float(optimizers.graph_error(graph, initial))
+    assert np.isfinite(e0)
+
+
+def test_noisy_toy_graph_matches_reference_output():
+    """noisyToyGraph.txt ships with its optimized counterpart
+    (optimizedNoisyToyGraph.txt) — a golden regression from the reference."""
+    graph, initial = dataset.load_2d(dataset.find_example_data("noisyToyGraph.txt"),
+                                     prior_sigmas=(1e-2, 1e-2, 1e-2))
+    res = optimizers.optimize_gn(graph, initial)
+    assert res.converged
+    # golden file lists optimized vertices
+    golden = {}
+    with open(dataset.find_example_data("optimizedNoisyToyGraph.txt")) as f:
+        for line in f:
+            p = line.split()
+            if p and p[0].startswith("VERTEX"):
+                golden[int(p[1])] = [float(p[2]), float(p[3]), float(p[4])]
+    got = np.asarray(res.values["se2"])
+    want = np.array([golden[i] for i in range(len(golden))])
+    # anchor gauge: both solutions have pose0 approx at origin via prior
+    np.testing.assert_allclose(got[:, :2], want[:, :2], atol=0.05)
