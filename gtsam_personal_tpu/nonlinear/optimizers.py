@@ -60,31 +60,24 @@ def check_convergence(params: Params, old_err, new_err):
     return abs_dec <= params.absolute_error_tol or rel_dec <= params.relative_error_tol
 
 
-def _solve(lin, layout, lam, diag_damping, params: Params):
+def _solve(lin, layout, lam, diag_damping, params: Params, plan=None):
     if params.solver == "pcg":
         return solvers.solve_pcg(lin, lam, diag_damping,
                                  maxiter=params.pcg_maxiter, tol=params.pcg_tol)
+    if params.solver == "schur":
+        from gtsam_personal_tpu.linear.schur import solve_partitioned
+        return solve_partitioned(lin, plan, lam)
     return solvers.solve_dense(lin, layout, lam,
                                layout.flatten(diag_damping) if diag_damping is not None else None)
 
 
-@partial(jax.jit, static_argnames=("params",))
-def _lm_try_step(graph: FactorGraph, values: Values, lam, params: Params):
+@partial(jax.jit, static_argnames=("params", "plan"))
+def _lm_try_step(graph: FactorGraph, values: Values, lam, params: Params, plan=None):
     """One linearize + damped solve + retract + error evaluation, jitted."""
     layout = Layout.of(values)
     lin = linearize(graph, values)
     dd = lin.hessian_diagonal() if params.diagonal_damping else None
-    delta = _solve(lin, layout, lam, dd, params)
-    new_values = values.retract(delta)
-    return new_values, graph.error(new_values), tree_norm(delta)
-
-
-@partial(jax.jit, static_argnames=("params",))
-def _solve_only(graph: FactorGraph, values: Values, lam, params: Params):
-    layout = Layout.of(values)
-    lin = linearize(graph, values)
-    dd = lin.hessian_diagonal() if params.diagonal_damping else None
-    delta = _solve(lin, layout, lam, dd, params)
+    delta = _solve(lin, layout, lam, dd, params, plan)
     new_values = values.retract(delta)
     return new_values, graph.error(new_values), tree_norm(delta)
 
@@ -103,12 +96,13 @@ class Result:
     lambda_final: float = 0.0
 
 
-def optimize_gn(graph: FactorGraph, values: Values, params: Params = Params()) -> Result:
+def optimize_gn(graph: FactorGraph, values: Values, params: Params = Params(),
+                plan=None) -> Result:
     """Gauss-Newton: linearize -> solve -> retract until converged
     (reference: GaussNewtonOptimizer)."""
     err = float(graph_error(graph, values))
     for it in range(params.max_iterations):
-        new_values, new_err, _ = _solve_only(graph, values, 0.0, params)
+        new_values, new_err, _ = _lm_try_step(graph, values, 0.0, params, plan)
         new_err = float(new_err)
         if params.verbose:
             print(f"GN iter {it}: error {err:.6g} -> {new_err:.6g}")
@@ -124,14 +118,15 @@ def optimize_gn(graph: FactorGraph, values: Values, params: Params = Params()) -
     return Result(values, err, params.max_iterations, False)
 
 
-def optimize_lm(graph: FactorGraph, values: Values, params: Params = Params()) -> Result:
+def optimize_lm(graph: FactorGraph, values: Values, params: Params = Params(),
+                plan=None) -> Result:
     """Levenberg-Marquardt with the reference's fixed-factor lambda schedule."""
     err = float(graph_error(graph, values))
     lam = params.lambda_initial
     for it in range(params.max_iterations):
         accepted = False
         for _ in range(params.max_inner_tries):
-            new_values, new_err, _ = _lm_try_step(graph, values, lam, params)
+            new_values, new_err, _ = _lm_try_step(graph, values, lam, params, plan)
             new_err = float(new_err)
             if jnp.isfinite(new_err) and new_err < err:
                 accepted = True
@@ -150,9 +145,9 @@ def optimize_lm(graph: FactorGraph, values: Values, params: Params = Params()) -
     return Result(values, err, params.max_iterations, False, lam)
 
 
-@partial(jax.jit, static_argnames=("params", "max_iterations"))
+@partial(jax.jit, static_argnames=("params", "max_iterations", "plan"))
 def optimize_lm_jit(graph: FactorGraph, values: Values, params: Params = Params(),
-                    max_iterations: Optional[int] = None):
+                    max_iterations: Optional[int] = None, plan=None):
     """Fully-jitted LM: entire optimization is one XLA program
     (lax.while_loop over iterations, bounded lambda search per iteration).
     Returns (values, final_error, iterations)."""
@@ -163,7 +158,7 @@ def optimize_lm_jit(graph: FactorGraph, values: Values, params: Params = Params(
         layout = Layout.of(values)
         lin = linearize(graph, values)
         dd = lin.hessian_diagonal() if params.diagonal_damping else None
-        delta = _solve(lin, layout, lam, dd, params)
+        delta = _solve(lin, layout, lam, dd, params, plan)
         nv = values.retract(delta)
         return nv, graph.error(nv)
 
