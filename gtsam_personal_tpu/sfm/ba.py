@@ -25,6 +25,17 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax as _lax
+
+import os
+_PRECISION = getattr(_lax.Precision, os.environ.get("GTSAM_TPU_MATMUL_PRECISION", "HIGHEST"))
+
+
+def _einsum_hp(spec, *ops):
+    """einsum pinned to full-f32 accumulation: TPU default matmul
+    precision is bf16, which destroys normal-equations conditioning."""
+    return jnp.einsum(spec, *ops, precision=_PRECISION)
+
 import numpy as np
 
 from gtsam_personal_tpu.geometry import se3, cameras as cam_geo
@@ -118,35 +129,35 @@ def solve_ba_step(state: BAState, obs: BAObservations, lam,
     eye3 = jnp.eye(3, dtype=dtype)
     eye9 = jnp.eye(9, dtype=dtype)
 
-    Hpp = _segsum(jnp.einsum("mij,mik->mjk", Jp, Jp), obs.point, P) + \
+    Hpp = _segsum(_einsum_hp("mij,mik->mjk", Jp, Jp), obs.point, P) + \
         (lam + 1e-12) * eye3
     Lpp = jnp.linalg.cholesky(Hpp)
     solve_pp = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b))
 
-    Hcc = _segsum(jnp.einsum("mij,mik->mjk", Jc, Jc), obs.cam, C) + \
+    Hcc = _segsum(_einsum_hp("mij,mik->mjk", Jc, Jc), obs.cam, C) + \
         (lam + 1e-12) * eye9
-    gc = _segsum(jnp.einsum("mij,mi->mj", Jc, r), obs.cam, C)
-    gp = _segsum(jnp.einsum("mij,mi->mj", Jp, r), obs.point, P)
+    gc = _segsum(_einsum_hp("mij,mi->mj", Jc, r), obs.cam, C)
+    gp = _segsum(_einsum_hp("mij,mi->mj", Jp, r), obs.point, P)
 
     hp = solve_pp(Lpp, gp)  # Hpp^{-1} gp
     # reduced RHS: -gc + W Hpp^{-1} gp
-    b = -gc + _segsum(jnp.einsum("mij,mi->mj", Jc,
-                                 jnp.einsum("mij,mj->mi", Jp, hp[obs.point])),
+    b = -gc + _segsum(_einsum_hp("mij,mi->mj", Jc,
+                                 _einsum_hp("mij,mj->mi", Jp, hp[obs.point])),
                       obs.cam, C)
 
     def schur_matvec(xc):
-        a = jnp.einsum("mij,mj->mi", Jc, xc[obs.cam])          # [M,2]
-        t = _segsum(jnp.einsum("mij,mi->mj", Jp, a), obs.point, P)
+        a = _einsum_hp("mij,mj->mi", Jc, xc[obs.cam])          # [M,2]
+        t = _segsum(_einsum_hp("mij,mi->mj", Jp, a), obs.point, P)
         u = solve_pp(Lpp, t)
-        bb = jnp.einsum("mij,mj->mi", Jp, u[obs.point])
-        y = _segsum(jnp.einsum("mij,mi->mj", Jc, a - bb), obs.cam, C)
+        bb = _einsum_hp("mij,mj->mi", Jp, u[obs.point])
+        y = _segsum(_einsum_hp("mij,mi->mj", Jc, a - bb), obs.cam, C)
         return y + lam * xc
 
     # exact block-Jacobi preconditioner of S (per-camera diag blocks; exact
     # when each camera observes a track at most once — true for BAL)
-    W_obs = jnp.einsum("mij,mik->mjk", Jc, Jp)                 # [M,9,3]
+    W_obs = _einsum_hp("mij,mik->mjk", Jc, Jp)                 # [M,9,3]
     HppInv_obs = solve_pp(Lpp[obs.point], jnp.broadcast_to(eye3, (obs.cam.shape[0], 3, 3)))
-    Sdiag = Hcc - _segsum(jnp.einsum("mab,mbc,mdc->mad", W_obs, HppInv_obs, W_obs),
+    Sdiag = Hcc - _segsum(_einsum_hp("mab,mbc,mdc->mad", W_obs, HppInv_obs, W_obs),
                           obs.cam, C)
     Ls = jnp.linalg.cholesky(Sdiag + 1e-10 * eye9)
     precond = lambda x: solve_pp(Ls, x)
@@ -180,8 +191,8 @@ def solve_ba_step(state: BAState, obs: BAObservations, lam,
     _, xc, *_ = jax.lax.while_loop(cond, body, (0, x0, r0, z0, p0, rz0))
 
     # landmark back-substitution: xp = Hpp^{-1} (-gp - W^T xc)
-    a = jnp.einsum("mij,mj->mi", Jc, xc[obs.cam])
-    t = _segsum(jnp.einsum("mij,mi->mj", Jp, a), obs.point, P)
+    a = _einsum_hp("mij,mj->mi", Jc, xc[obs.cam])
+    t = _segsum(_einsum_hp("mij,mi->mj", Jp, a), obs.point, P)
     xp = solve_pp(Lpp, -gp - t)
     return xc, xp
 
