@@ -31,17 +31,19 @@ def main():
     state = ba.BAState(*[x.astype(jnp.float32) for x in state])
     obs = ba.BAObservations(obs.cam, obs.point, obs.uv.astype(jnp.float32))
 
+    layout = ba.make_layout(obs, state.cam_poses.shape[0], state.points.shape[0])
     lam = jnp.float32(1e-4)
-    # compile + converge-warmup
-    st, err = ba.ba_try_step(state, obs, lam, cg_maxiter=25)
-    jax.block_until_ready(err)
+    # compile + warmup (block_until_ready is unreliable on the axon backend:
+    # sync via a host transfer)
+    st, err = ba.ba_try_step(state, obs, layout, lam, cg_maxiter=25)
+    float(err)
 
     iters = 10
     t0 = time.perf_counter()
     st2 = state
     for _ in range(iters):
-        st2, err = ba.ba_try_step(st2, obs, lam, cg_maxiter=25)
-    jax.block_until_ready(err)
+        st2, err = ba.ba_try_step(st2, obs, layout, lam, cg_maxiter=25)
+    float(err)
     dt = time.perf_counter() - t0
 
     iters_per_sec = iters / dt

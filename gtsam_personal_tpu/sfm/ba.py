@@ -11,35 +11,28 @@ as batched segment-sums over the observation array — the TPU-native form:
   S xc    = Hcc xc - W Hpp^{-1} W^T xc              (implicit Schur matvec)
 
 solved by PCG with an exact per-camera block-Jacobi preconditioner of S, then
-landmarks back-substituted in closed form (batched 3x3 Cholesky).
+landmarks back-substituted in closed form.
+
+All per-observation quantities are FLAT [M, k] arrays with the small matrix
+algebra unrolled (sfm/ba_kernels.py) — [M, a, b] shapes would be padded to
+(8,128) tiles on TPU and waste ~100x bandwidth.
 
 Cameras follow the reference's PinholeCamera<Cal3Bundler> 9-dof manifold
 (pose 6 + calibration 3); the camera tangent is [pose xi, dcal].
 Cheirality handling: observations behind the camera get zero weight
-(reference analogue: TriangulationResult/cheirality degradation, SURVEY §5.3).
+(reference analogue: TriangulationResult degradation, SURVEY §5.3).
 """
 
-from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax as _lax
-
-import os
-_PRECISION = getattr(_lax.Precision, os.environ.get("GTSAM_TPU_MATMUL_PRECISION", "HIGHEST"))
-
-
-def _einsum_hp(spec, *ops):
-    """einsum pinned to full-f32 accumulation: TPU default matmul
-    precision is bf16, which destroys normal-equations conditioning."""
-    return jnp.einsum(spec, *ops, precision=_PRECISION)
-
 import numpy as np
 
 from gtsam_personal_tpu.geometry import se3, cameras as cam_geo
 from gtsam_personal_tpu.sfm.bal import BalProblem
+from gtsam_personal_tpu.sfm import ba_kernels as bk
 
 
 class BAState(NamedTuple):
@@ -54,7 +47,7 @@ class BAObservations(NamedTuple):
     uv: jnp.ndarray          # [M, 2]
 
 
-def state_from_bal(prob: BalProblem, dtype=None) -> "tuple[BAState, BAObservations]":
+def state_from_bal(prob: BalProblem, dtype=None):
     cast = (lambda x: jnp.asarray(x, dtype=dtype)) if dtype else jnp.asarray
     return (BAState(cast(prob.cam_poses), cast(prob.cam_cals), cast(prob.points)),
             BAObservations(jnp.asarray(prob.obs_cam), jnp.asarray(prob.obs_point),
@@ -77,7 +70,9 @@ def _residual_local(deltas, pose, cal, point, uv):
 
 
 def linearize_ba(state: BAState, obs: BAObservations, mask_cheirality=True):
-    """Batched residuals + Jacobians for every observation: one vmap."""
+    """Batched residuals + Jacobians for every observation in one vmap.
+
+    Returns r [M,2], Jc [M,18] (row-major 2x9), Jp [M,6] (row-major 2x3)."""
     dtype = state.points.dtype
     poses = state.cam_poses[obs.cam]
     cals = state.cam_cals[obs.cam]
@@ -88,15 +83,15 @@ def linearize_ba(state: BAState, obs: BAObservations, mask_cheirality=True):
     def one(pose, cal, point, uv):
         r = _residual_local(zeros, pose, cal, point, uv)
         Jc, Jp = jax.jacfwd(_residual_local, argnums=0)(zeros, pose, cal, point, uv)
-        return r, Jc, Jp
+        return r, Jc.reshape(18), Jp.reshape(6)
 
     r, Jc, Jp = jax.vmap(one)(poses, cals, pts, obs.uv)
     if mask_cheirality:
         depth = jax.vmap(cam_geo.depth_of)(poses, pts)
         w = (depth > 1e-6).astype(dtype)[:, None]
         r = r * w
-        Jc = Jc * w[..., None]
-        Jp = Jp * w[..., None]
+        Jc = Jc * w
+        Jp = Jp * w
     return r, Jc, Jp
 
 
@@ -116,51 +111,67 @@ def _segsum(x, ids, n):
     return jax.ops.segment_sum(x, ids, num_segments=n)
 
 
-def solve_ba_step(state: BAState, obs: BAObservations, lam,
+def solve_ba_step(state: BAState, obs: BAObservations, layout, lam,
                   cg_maxiter=100, cg_tol=1e-6):
-    """One damped GN step: implicit-Schur PCG on cameras + landmark backsub.
+    """One damped GN step: implicit-Schur PCG on cameras + landmark backsub,
+    computed over the dual dense layouts (sfm/ba_layout.py) — no scatters or
+    small-table gathers anywhere in the CG loop.
 
     Returns (delta_cam [C,9], delta_point [P,3])."""
-    C = state.cam_poses.shape[0]
-    P = state.points.shape[0]
+    C, P, Q, T = layout.C, layout.P, layout.Q, layout.T
     dtype = state.points.dtype
     r, Jc, Jp = linearize_ba(state, obs)
 
-    eye3 = jnp.eye(3, dtype=dtype)
-    eye9 = jnp.eye(9, dtype=dtype)
+    es = lambda spec, *ops: jnp.einsum(spec, *ops, precision=jax.lax.Precision.HIGHEST)
 
-    Hpp = _segsum(_einsum_hp("mij,mik->mjk", Jp, Jp), obs.point, P) + \
-        (lam + 1e-12) * eye3
-    Lpp = jnp.linalg.cholesky(Hpp)
-    solve_pp = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b))
+    Jc_cm = layout.to_cam_major(Jc).reshape(C, Q, 2, 9)
+    r_cm = layout.to_cam_major(r)                       # [C, Q, 2]
+    Jp_pm = layout.to_point_major(Jp).reshape(P, T, 2, 3)
+    r_pm = layout.to_point_major(r)                     # [P, T, 2]
 
-    Hcc = _segsum(_einsum_hp("mij,mik->mjk", Jc, Jc), obs.cam, C) + \
-        (lam + 1e-12) * eye9
-    gc = _segsum(_einsum_hp("mij,mi->mj", Jc, r), obs.cam, C)
-    gp = _segsum(_einsum_hp("mij,mi->mj", Jp, r), obs.point, P)
+    # landmark blocks (flat 3x3) + closed-form inverse
+    Hpp = es("ptij,ptik->pjk", Jp_pm, Jp_pm).reshape(P, 9)
+    Hpp = bk.add_scaled_identity_33(Hpp, lam + 1e-10)
+    HppInv = bk.sym33_inv(Hpp)
 
-    hp = solve_pp(Lpp, gp)  # Hpp^{-1} gp
-    # reduced RHS: -gc + W Hpp^{-1} gp
-    b = -gc + _segsum(_einsum_hp("mij,mi->mj", Jc,
-                                 _einsum_hp("mij,mj->mi", Jp, hp[obs.point])),
-                      obs.cam, C)
+    gc = es("cqij,cqi->cj", Jc_cm, r_cm)                # [C, 9]
+    gp = es("ptij,pti->pj", Jp_pm, r_pm)                # [P, 3]
+
+    hp = bk.sym33_matvec(HppInv, gp)
+    b = -gc + es("cqij,cqi->cj", Jc_cm,
+                 layout.perm_point_to_cam(es("ptij,pj->pti", Jp_pm, hp)))
 
     def schur_matvec(xc):
-        a = _einsum_hp("mij,mj->mi", Jc, xc[obs.cam])          # [M,2]
-        t = _segsum(_einsum_hp("mij,mi->mj", Jp, a), obs.point, P)
-        u = solve_pp(Lpp, t)
-        bb = _einsum_hp("mij,mj->mi", Jp, u[obs.point])
-        y = _segsum(_einsum_hp("mij,mi->mj", Jc, a - bb), obs.cam, C)
+        a = es("cqij,cj->cqi", Jc_cm, xc)               # [C, Q, 2]
+        ap = layout.perm_cam_to_point(a)                # [P, T, 2]
+        t = es("ptij,pti->pj", Jp_pm, ap)               # [P, 3]
+        u = bk.sym33_matvec(HppInv, t)
+        bb = es("ptij,pj->pti", Jp_pm, u)               # [P, T, 2]
+        bc = layout.perm_point_to_cam(bb)               # [C, Q, 2]
+        y = es("cqij,cqi->cj", Jc_cm, a - bc)
         return y + lam * xc
 
-    # exact block-Jacobi preconditioner of S (per-camera diag blocks; exact
-    # when each camera observes a track at most once — true for BAL)
-    W_obs = _einsum_hp("mij,mik->mjk", Jc, Jp)                 # [M,9,3]
-    HppInv_obs = solve_pp(Lpp[obs.point], jnp.broadcast_to(eye3, (obs.cam.shape[0], 3, 3)))
-    Sdiag = Hcc - _segsum(_einsum_hp("mab,mbc,mdc->mad", W_obs, HppInv_obs, W_obs),
-                          obs.cam, C)
-    Ls = jnp.linalg.cholesky(Sdiag + 1e-10 * eye9)
-    precond = lambda x: solve_pp(Ls, x)
+    # block-Jacobi preconditioner of S: per-camera 9x9 blocks
+    # (exact when each camera observes a track at most once — true for BAL).
+    # Built in flat obs-order + one segment_sum: this runs once per step, and
+    # the flat [M, k] stacks compile/run far better than 4-D einsums here.
+    Hcc = es("cqij,cqik->cjk", Jc_cm, Jc_cm)            # [C, 9, 9]
+    W = bk.atb(Jc, Jp, 2, 9, 3)                         # [M, 27] (9x3)
+    Hi = jnp.concatenate([HppInv, jnp.zeros((1, 9), dtype=dtype)])[
+        jnp.minimum(obs.point, P - 1)]                  # [M, 9]
+    T1 = jnp.stack([
+        sum(W[:, i * 3 + j] * Hi[:, j * 3 + k] for j in range(3))
+        for i in range(9) for k in range(3)
+    ], axis=1)                                          # [M, 27] = W Hpp^-1
+    G = jnp.stack([
+        sum(T1[:, i * 3 + k] * W[:, l * 3 + k] for k in range(3))
+        for i in range(9) for l in range(9)
+    ], axis=1)                                          # [M, 81]
+    Gc = _segsum(G, obs.cam, C).reshape(C, 9, 9)
+    eye9 = jnp.eye(9, dtype=dtype)
+    Ls = jnp.linalg.cholesky(Hcc - Gc + (lam + 1e-8) * eye9)
+    cho_apply = jax.vmap(lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
+    precond = lambda x: cho_apply(Ls, x)
 
     # PCG over [C, 9]
     x0 = jnp.zeros_like(b)
@@ -168,8 +179,7 @@ def solve_ba_step(state: BAState, obs: BAObservations, lam,
     z0 = precond(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
-    bnorm2 = jnp.vdot(b, b)
-    thr = (cg_tol ** 2) * bnorm2
+    thr = (cg_tol ** 2) * jnp.vdot(b, b)
 
     def cond(s):
         k, x, rr, z, p, rz = s
@@ -191,9 +201,9 @@ def solve_ba_step(state: BAState, obs: BAObservations, lam,
     _, xc, *_ = jax.lax.while_loop(cond, body, (0, x0, r0, z0, p0, rz0))
 
     # landmark back-substitution: xp = Hpp^{-1} (-gp - W^T xc)
-    a = _einsum_hp("mij,mj->mi", Jc, xc[obs.cam])
-    t = _segsum(_einsum_hp("mij,mi->mj", Jp, a), obs.point, P)
-    xp = solve_pp(Lpp, -gp - t)
+    a = es("cqij,cj->cqi", Jc_cm, xc)
+    t = es("ptij,pti->pj", Jp_pm, layout.perm_cam_to_point(a))
+    xp = bk.sym33_matvec(HppInv, -gp - t)
     return xc, xp
 
 
@@ -203,18 +213,25 @@ def retract_ba(state: BAState, xc, xp) -> BAState:
 
 
 @partial(jax.jit, static_argnames=("cg_maxiter",))
-def ba_try_step(state: BAState, obs: BAObservations, lam, cg_maxiter=100):
-    xc, xp = solve_ba_step(state, obs, lam, cg_maxiter=cg_maxiter)
+def ba_try_step(state: BAState, obs: BAObservations, layout, lam, cg_maxiter=100):
+    xc, xp = solve_ba_step(state, obs, layout, lam, cg_maxiter=cg_maxiter)
     new_state = retract_ba(state, xc, xp)
     return new_state, ba_error(new_state, obs)
 
 
-def optimize_ba(state: BAState, obs: BAObservations,
+def make_layout(obs: BAObservations, C: int, P: int):
+    from gtsam_personal_tpu.sfm.ba_layout import BALayout
+    return BALayout.build(np.asarray(obs.cam), np.asarray(obs.point), C, P)
+
+
+def optimize_ba(state: BAState, obs: BAObservations, layout=None,
                 max_iterations=50, lambda_initial=1e-4, lambda_factor=10.0,
                 lambda_upper=1e8, rel_tol=1e-6, abs_tol=1e-6, cg_maxiter=100,
                 verbose=False):
     """LM outer loop on the BA problem (reference schedule, see
     nonlinear/optimizers.py)."""
+    if layout is None:
+        layout = make_layout(obs, state.cam_poses.shape[0], state.points.shape[0])
     err = float(jax.jit(ba_error)(state, obs))
     lam = lambda_initial
     it = 0
@@ -222,7 +239,7 @@ def optimize_ba(state: BAState, obs: BAObservations,
         accepted = False
         for _ in range(12):
             new_state, new_err = ba_try_step(
-                state, obs, jnp.asarray(lam, dtype=state.points.dtype),
+                state, obs, layout, jnp.asarray(lam, dtype=state.points.dtype),
                 cg_maxiter=cg_maxiter)
             new_err = float(new_err)
             if np.isfinite(new_err) and new_err < err:

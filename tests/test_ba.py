@@ -42,7 +42,9 @@ def test_schur_step_matches_full_dense(dubrovnik):
     D = C * 9 + P * 3
     A = np.zeros((D, D))
     g = np.zeros(D)
-    Jc_n, Jp_n, r_n = np.asarray(Jc), np.asarray(Jp), np.asarray(r)
+    Jc_n = np.asarray(Jc).reshape(-1, 2, 9)
+    Jp_n = np.asarray(Jp).reshape(-1, 2, 3)
+    r_n = np.asarray(r)
     cam_off = lambda c: 9 * c
     pt_off = lambda p: C * 9 + 3 * p
     for m in range(M):
@@ -54,7 +56,8 @@ def test_schur_step_matches_full_dense(dubrovnik):
         g += J.T @ r_n[m]
     A += lam * np.eye(D)
     ref = np.linalg.solve(A, -g)
-    xc, xp = ba.solve_ba_step(state, obs, lam, cg_maxiter=500, cg_tol=1e-14)
+    layout = ba.make_layout(obs, C, P)
+    xc, xp = ba.solve_ba_step(state, obs, layout, lam, cg_maxiter=500, cg_tol=1e-14)
     got = np.concatenate([np.asarray(xc).ravel(), np.asarray(xp).ravel()])
     np.testing.assert_allclose(got, ref, atol=1e-7)
 
@@ -83,4 +86,4 @@ def test_jacobians_vs_fd(dubrovnik):
         rp = ba._residual_local((jnp.asarray(d), jnp.zeros(3)), pose, cal, pt, uv)
         rm = ba._residual_local((jnp.asarray(-d), jnp.zeros(3)), pose, cal, pt, uv)
         fd = (np.asarray(rp) - np.asarray(rm)) / (2 * eps)
-        np.testing.assert_allclose(np.asarray(Jc[m, :, i]), fd, atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(Jc[m]).reshape(2, 9)[:, i], fd, atol=1e-4, rtol=1e-4)
