@@ -1,0 +1,62 @@
+"""IncrementalSmoother (ISAM2-capability analogue) on a City10000-style
+stream: odometry + loop closures processed incrementally must land near the
+batch solution (reference harness: examples/ISAM2_City10000.cpp)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gtsam_personal_tpu.nonlinear.incremental import IncrementalSmoother
+from gtsam_personal_tpu.nonlinear import optimizers
+from gtsam_personal_tpu.slam import dataset
+from gtsam_personal_tpu.geometry import se2
+
+
+def test_incremental_city10000_prefix():
+    graph, initial = dataset.load_2d(dataset.find_example_data("city10000.g2o"))
+    between = [b for b in graph.batches if b.name == "between_se2"][0]
+    ij = np.asarray(between.idx)
+    meas = np.asarray(between.meas["measured"])
+    S = np.asarray(between.noise.data)
+    # stream the first N poses' worth of edges in file order
+    N = 300
+    keep = (ij.max(axis=1) < N)
+    ij, meas, S = ij[keep], meas[keep], S[keep]
+
+    inc = IncrementalSmoother(group="se2", relinearize_every=25,
+                              iters_per_update=3)
+    inc.set_prior(np.zeros(3), [0.3, 0.3, 0.1])
+    added = 1
+    for k in range(len(ij)):
+        i, j = int(ij[k, 0]), int(ij[k, 1])
+        if j == added:  # odometry edge: new pose
+            init = np.asarray(se2.compose(jnp.asarray(inc._poses[i]),
+                                          jnp.asarray(meas[k])))
+            inc.add_pose(init)
+            added += 1
+        inc.add_between(i, j, meas[k], S[k])
+    inc.solve(iters=6)
+
+    # batch reference on the same subproblem
+    from gtsam_personal_tpu.core.graph import GraphBuilder
+    from gtsam_personal_tpu.core.values import Values
+    from gtsam_personal_tpu.slam import factors as F
+    b = GraphBuilder()
+    F.add_prior(b, "se2", 0, np.zeros(3), F.diag_noise([0.3, 0.3, 0.1]))
+    for k in range(len(ij)):
+        b.add("between_se2", F.make_between_residual("se2"), ("se2", "se2"), 3,
+              list(ij[k]), {"measured": meas[k]}, {"kind": "full", "data": S[k]})
+    bg = b.build()
+    binit = Values({"se2": jnp.asarray(np.asarray(initial["se2"])[:N])})
+    bres = optimizers.optimize_lm(bg, binit)
+
+    # a 300-pose prefix is a weakly-closed chain: small early angle
+    # differences displace late poses at negligible cost, so compare costs
+    # (the well-posed criterion), not absolute positions.
+    final_err = inc.solve(iters=4)
+    assert final_err < max(4.0 * bres.error, bres.error + 1e-3), \
+        (final_err, bres.error)
+    est = inc.estimate()[:N]
+    ref = np.asarray(bres.values["se2"])[:N]
+    err = np.linalg.norm(est[:, :2] - ref[:, :2], axis=1)
+    assert err.max() < 3.0  # loose absolute sanity bound
