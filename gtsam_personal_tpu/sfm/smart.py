@@ -1,0 +1,79 @@
+"""Smart (structureless) projection factors.
+
+Reference parity: SmartProjectionFactor / SmartProjectionPoseFactor
+(slam/SmartProjectionFactor.h, SURVEY.md §3.2): a factor over the T cameras of
+a track whose landmark is eliminated internally.
+
+TPU-native realization: the residual function *embeds differentiable
+triangulation* (geometry/triangulation.py: DLT + fixed-iteration GN refine).
+Autodiff through the embedded argmin yields the variable-projection Jacobian —
+the same reduced system the reference builds explicitly via
+CameraSet::SchurComplement / JacobianFactorSVD — with zero special solver
+code: smart factors are ordinary `FactorBatch`es, bucketed by track length so
+every bucket is one vmap.
+
+Degenerate / cheirality tracks are zero-weighted (the reference returns
+degenerate TriangulationResults and zero Hessians, SmartProjectionFactor.h:173).
+"""
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gtsam_personal_tpu.core.graph import FactorBatch, FactorGraph
+from gtsam_personal_tpu.geometry import se3, triangulation as tri
+from gtsam_personal_tpu.linear.noise import NoiseModel
+
+
+def make_smart_residual(track_len: int, refine_iters: int = 3):
+    T = track_len
+
+    def residual(xs, meas):
+        poses = jnp.stack(xs)                    # [T, 3, 4]
+        uv = meas["uv"]                          # [T, 2] unit-plane
+        point, degenerate = tri.triangulate_dlt(poses, uv)
+        point = tri.refine_nonlinear(poses, uv, point, iters=refine_iters)
+        depths = jax.vmap(lambda p: se3.transform_to(p, point)[2])(poses)
+        ok = jnp.logical_and(jnp.logical_not(degenerate),
+                             jnp.all(depths > 1e-3))
+        w = jnp.where(ok, 1.0, 0.0).astype(uv.dtype)
+
+        def reproj(pose, uv_t):
+            pc = se3.transform_to(pose, point)
+            z = pc[2]
+            z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+            return jnp.stack([pc[0] / z_safe, pc[1] / z_safe]) - uv_t
+
+        r = jax.vmap(reproj)(poses, uv)          # [T, 2]
+        return (w * r.reshape(-1))
+
+    residual.__name__ = f"smart_projection_T{T}"
+    return residual
+
+
+def build_smart_batches(tracks: Sequence[Sequence[int]],
+                        measurements: Sequence[np.ndarray],
+                        sigma: float = 1.0, pose_group: str = "se3",
+                        dtype=np.float64) -> List[FactorBatch]:
+    """Group tracks by length into FactorBatches.
+
+    tracks[k]: camera indices of track k; measurements[k]: [T_k, 2]
+    unit-plane measurements."""
+    by_len: Dict[int, List[int]] = {}
+    for k, t in enumerate(tracks):
+        by_len.setdefault(len(t), []).append(k)
+    batches = []
+    for T, ks in sorted(by_len.items()):
+        if T < 2:
+            continue
+        idx = np.asarray([tracks[k] for k in ks], dtype=np.int32)
+        uv = np.asarray([measurements[k] for k in ks], dtype=dtype)
+        noise = NoiseModel("diag", jnp.full((len(ks), 2 * T), 1.0 / sigma,
+                                            dtype=jnp.asarray(uv).dtype))
+        batches.append(FactorBatch(
+            f"smart_projection_T{T}", make_smart_residual(T),
+            tuple([pose_group] * T), 2 * T,
+            jnp.asarray(idx), {"uv": jnp.asarray(uv)}, noise))
+    return batches

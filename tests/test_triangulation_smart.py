@@ -1,0 +1,116 @@
+"""Triangulation + smart factor tests (reference:
+geometry/tests/testTriangulation.cpp, slam/tests/testSmartProjectionFactor)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gtsam_personal_tpu.core.graph import FactorGraph, GraphBuilder
+from gtsam_personal_tpu.core.values import Values
+from gtsam_personal_tpu.geometry import se3, triangulation as tri
+from gtsam_personal_tpu.nonlinear import optimizers
+from gtsam_personal_tpu.sfm import smart
+from gtsam_personal_tpu.slam import factors as F
+
+
+def make_scene(n_cams=4, seed=0):
+    rng = np.random.default_rng(seed)
+    poses = []
+    for i in range(n_cams):
+        # cameras along x axis looking forward (+z)
+        t = np.array([i * 0.5, 0.0, 0.0])
+        poses.append(np.concatenate([np.eye(3), t[:, None]], axis=1))
+    poses = np.asarray(poses)
+    point = np.array([0.7, 0.3, 4.0])
+    uv = []
+    for p in poses:
+        pc = np.asarray(se3.transform_to(jnp.asarray(p), jnp.asarray(point)))
+        uv.append(pc[:2] / pc[2])
+    return jnp.asarray(poses), jnp.asarray(np.asarray(uv)), point
+
+
+class TestTriangulation:
+    def test_dlt_exact(self):
+        poses, uv, point = make_scene()
+        est, degen = tri.triangulate_dlt(poses, uv)
+        assert not bool(degen)
+        np.testing.assert_allclose(np.asarray(est), point, atol=1e-8)
+
+    def test_lost(self):
+        poses, uv, point = make_scene()
+        est, degen = tri.triangulate_lost(poses, uv)
+        np.testing.assert_allclose(np.asarray(est), point, atol=1e-6)
+
+    def test_refine_improves_noisy(self):
+        poses, uv, point = make_scene()
+        noisy = uv + 1e-3 * jax.random.normal(jax.random.PRNGKey(0), uv.shape)
+        est, _ = tri.triangulate_dlt(poses, noisy)
+        refined = tri.refine_nonlinear(poses, noisy, est)
+        def cost(X):
+            pc = jax.vmap(lambda p: se3.transform_to(p, X))(poses)
+            rr = pc[:, :2] / pc[:, 2:3] - noisy
+            return float(jnp.sum(rr * rr))
+        assert cost(refined) <= cost(est) + 1e-12
+
+    def test_safe_detects_behind(self):
+        poses, uv, point = make_scene()
+        # point behind: flip z
+        uv_bad = -uv
+        res = tri.triangulate_safe(poses, uv_bad)
+        assert not bool(res.valid)
+
+    def test_degenerate_single_direction(self):
+        # all cameras at same center -> no parallax -> degenerate
+        pose = jnp.asarray(np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1))
+        poses = jnp.stack([pose, pose, pose])
+        uv = jnp.asarray(np.tile([[0.1, 0.2]], (3, 1)))
+        res = tri.triangulate_safe(poses, uv, refine=False)
+        assert bool(res.degenerate) or not bool(res.valid)
+
+
+class TestSmartFactors:
+    def test_smart_factor_zero_at_truth(self):
+        poses, uv, point = make_scene()
+        batches = smart.build_smart_batches([[0, 1, 2, 3]], [np.asarray(uv)])
+        graph = FactorGraph(batches)
+        vals = Values({"se3": poses})
+        assert float(optimizers.graph_error(graph, vals)) < 1e-16
+
+    def test_smart_only_pose_optimization(self):
+        """Perturbed cameras + several smart tracks + prior on two cameras:
+        optimization recovers the camera poses (structureless BA)."""
+        rng = np.random.default_rng(1)
+        n_cams = 4
+        poses_np = []
+        for i in range(n_cams):
+            t = np.array([i * 0.5, 0.0, 0.0])
+            poses_np.append(np.concatenate([np.eye(3), t[:, None]], axis=1))
+        poses_np = np.asarray(poses_np)
+        points = rng.normal(size=(12, 3)) * np.array([1.0, 1.0, 0.5]) + \
+            np.array([0.5, 0.0, 5.0])
+        tracks, meas = [], []
+        for X in points:
+            uv = []
+            for p in poses_np:
+                pc = p[:, :3].T @ (X - p[:, 3])
+                uv.append(pc[:2] / pc[2])
+            tracks.append(list(range(n_cams)))
+            meas.append(np.asarray(uv) + rng.normal(scale=1e-4, size=(n_cams, 2)))
+        batches = smart.build_smart_batches(tracks, meas, sigma=1e-3)
+
+        b = GraphBuilder()
+        F.add_prior(b, "se3", 0, poses_np[0], F.diag_noise([1e-4] * 6))
+        F.add_prior(b, "se3", 1, poses_np[1], F.diag_noise([1e-4] * 6))
+        graph = FactorGraph(list(b.build().batches) + batches)
+
+        pert = poses_np.copy()
+        for i in range(2, n_cams):
+            noise = np.asarray(se3.expmap(jnp.asarray(
+                rng.normal(scale=0.02, size=6))))
+            pert[i] = np.asarray(se3.compose(jnp.asarray(pert[i]), jnp.asarray(noise)))
+        res = optimizers.optimize_lm(FactorGraph(graph.batches),
+                                     Values({"se3": jnp.asarray(pert)}),
+                                     optimizers.Params(max_iterations=30))
+        final = np.asarray(res.values["se3"])
+        np.testing.assert_allclose(final[:, :, 3], poses_np[:, :, 3], atol=5e-3)
