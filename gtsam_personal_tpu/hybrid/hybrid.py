@@ -1,0 +1,122 @@
+"""Hybrid discrete-continuous inference: Gaussian mixtures over factor graphs.
+
+Reference parity: gtsam/hybrid/ (SURVEY.md §2.10) — HybridGaussianFactor
+(a discrete-indexed set of Gaussian factors), HybridNonlinearFactorGraph,
+EliminateHybrid (sum-product over mixtures), HybridBayesNet::prune.
+
+TPU-native formulation: instead of decision-tree-structured elimination, the
+discrete modes are ENUMERATED (their joint domain is small by construction in
+the reference's own use cases — data association, mode estimation) and the
+continuous problem is solved for every assignment IN ONE BATCH via vmap over
+the stacked per-assignment measurement arrays. The discrete posterior follows
+from the per-assignment optimum energies; pruning keeps the top-k leaves.
+
+A `HybridFactor` is an ordinary FactorBatch whose measurement pytree carries a
+leading MODES axis selected by a discrete variable assignment.
+"""
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gtsam_personal_tpu.core.graph import FactorBatch, FactorGraph
+from gtsam_personal_tpu.core.values import Values
+from gtsam_personal_tpu.nonlinear import optimizers
+
+
+class HybridFactor:
+    """A factor whose measurement depends on a discrete mode variable.
+
+    mode_var: discrete variable id; for each mode m the factor behaves like
+    `batch` with measurements meas[m] (pytree with leading [modes] axis)."""
+
+    def __init__(self, batch: FactorBatch, mode_var: int, num_modes: int):
+        self.batch = batch          # meas arrays: [modes, K, ...]
+        self.mode_var = mode_var
+        self.num_modes = num_modes
+
+    def at_mode(self, m) -> FactorBatch:
+        meas = jax.tree.map(lambda x: x[m], self.batch.meas)
+        noise = self.batch.noise
+        data = noise.data
+        if data is not None and data.ndim >= 1 and data.shape[0] == self.num_modes:
+            from gtsam_personal_tpu.linear.noise import NoiseModel
+            noise = NoiseModel(noise.kind, data[m], noise.robust, noise.k)
+        return FactorBatch(self.batch.name, self.batch.residual_fn,
+                           self.batch.groups, self.batch.rdim,
+                           self.batch.idx, meas, noise)
+
+
+class HybridFactorGraph:
+    """Continuous factors + hybrid (mode-dependent) factors + discrete priors."""
+
+    def __init__(self):
+        self.continuous: List[FactorBatch] = []
+        self.hybrid: List[HybridFactor] = []
+        self.discrete_priors: Dict[int, np.ndarray] = {}
+
+    def add_continuous(self, batch: FactorBatch):
+        self.continuous.append(batch)
+
+    def add_hybrid(self, hf: HybridFactor):
+        self.hybrid.append(hf)
+
+    def add_discrete_prior(self, var: int, probs):
+        self.discrete_priors[var] = np.asarray(probs, dtype=np.float64)
+
+    def mode_vars(self) -> List[int]:
+        seen = []
+        for hf in self.hybrid:
+            if hf.mode_var not in seen:
+                seen.append(hf.mode_var)
+        return seen
+
+    def assignments(self) -> List[Dict[int, int]]:
+        """Enumerate the joint discrete domain."""
+        vars = self.mode_vars()
+        cards = {v: max(hf.num_modes for hf in self.hybrid if hf.mode_var == v)
+                 for v in vars}
+        out = [dict()]
+        for v in vars:
+            out = [{**a, v: m} for a in out for m in range(cards[v])]
+        return out
+
+    def graph_at(self, assignment: Dict[int, int]) -> FactorGraph:
+        batches = list(self.continuous)
+        for hf in self.hybrid:
+            batches.append(hf.at_mode(assignment[hf.mode_var]))
+        return FactorGraph(batches)
+
+    def solve(self, initial: Values,
+              params: Optional[optimizers.Params] = None,
+              prune_to: Optional[int] = None):
+        """Optimize the continuous variables under every discrete assignment
+        and return (best_values, best_assignment, posterior dict).
+
+        posterior[a] ∝ prior(a) * exp(-E*_a) with E*_a the optimum energy —
+        the same leaf weights HybridBayesNet computes; prune_to keeps top-k
+        (HybridBayesNet::prune analogue)."""
+        params = params or optimizers.Params(max_iterations=25)
+        assignments = self.assignments()
+        energies, results = [], []
+        for a in assignments:
+            res = optimizers.optimize_lm(self.graph_at(a), initial, params)
+            e = res.error
+            for v, m in a.items():
+                if v in self.discrete_priors:
+                    p = self.discrete_priors[v][m]
+                    e = e - float(np.log(max(p, 1e-300)))
+            energies.append(e)
+            results.append(res)
+        energies = np.asarray(energies)
+        order = np.argsort(energies)
+        if prune_to is not None:
+            order = order[:prune_to]
+        w = np.exp(-(energies[order] - energies[order].min()))
+        w = w / w.sum()
+        posterior = {tuple(sorted(assignments[k].items())): float(wk)
+                     for k, wk in zip(order, w)}
+        best = int(order[0])
+        return results[best].values, assignments[best], posterior
