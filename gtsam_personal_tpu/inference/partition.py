@@ -69,23 +69,12 @@ def build_adjacency(graph, counts: Dict[str, int]) -> Tuple[VarIndex, sp.csr_mat
 
 
 def _bfs_levels(A: sp.csr_matrix, mask: np.ndarray, start: int) -> np.ndarray:
-    """BFS level of each node within the masked subgraph (-1 outside/unreached)."""
-    n = A.shape[0]
-    level = np.full(n, -1, dtype=np.int64)
-    level[start] = 0
-    frontier = np.array([start])
-    l = 0
-    indptr, indices = A.indptr, A.indices
-    while frontier.size:
-        l += 1
-        nxt = []
-        for u in frontier:
-            nbr = indices[indptr[u]:indptr[u + 1]]
-            nbr = nbr[mask[nbr] & (level[nbr] < 0)]
-            level[nbr] = l
-            nxt.append(nbr)
-        frontier = np.unique(np.concatenate(nxt)) if nxt else np.array([], dtype=np.int64)
-    return level
+    """BFS level of each node within the masked subgraph (-1 outside/unreached).
+
+    Dispatches to the native C++ traversal (gtsam_personal_tpu/native)."""
+    from gtsam_personal_tpu import native
+    return native.bfs_levels(A.indptr.astype(np.int64),
+                             A.indices.astype(np.int64), mask, start)
 
 
 def _pseudo_peripheral(A, mask, seed):

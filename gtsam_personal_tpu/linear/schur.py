@@ -83,12 +83,9 @@ class SchurPlan:
             vids = np.stack([np.asarray(vi.vid(g, idx[:, s]))
                              for s, g in enumerate(b.groups)], axis=1)  # [K, S]
             parts_s = part_of[vids]  # [K, S]; -1 = separator
-            fpart = parts_s.max(axis=1)  # interior slots agree by construction
-            # sanity: no factor spans two interiors
-            mn = np.where(parts_s < 0, fpart[:, None], parts_s).min(axis=1)
-            if not np.all((mn == fpart) | (fpart < 0)):
-                bad = np.where(mn != fpart)[0][:5]
-                raise ValueError(f"factor spans two interior parts: batch {b.name} rows {bad}")
+            # native classification; raises if a factor spans two interiors
+            from gtsam_personal_tpu import native
+            fpart = native.classify_factors(vids, part_of)
             batch_meta.append((vids, parts_s, fpart))
             for krow in range(vids.shape[0]):
                 kp = fpart[krow]
