@@ -168,12 +168,12 @@ ESSENTIAL = manifolds.register(manifolds.Manifold(
 
 
 def essential_epipolar_error(e, pA, pB):
-    """Algebraic epipolar error pB^h' E pA^h (reference:
+    """Algebraic epipolar error vA^T E vB with E = [aTb]_x aRb (reference:
     EssentialMatrix::error used by EssentialMatrixFactor)."""
     E = essential_matrix(e)
     ha = jnp.concatenate([pA, jnp.ones(1, dtype=pA.dtype)])
     hb = jnp.concatenate([pB, jnp.ones(1, dtype=pB.dtype)])
-    return jnp.atleast_1d(hb @ E @ ha)
+    return jnp.atleast_1d(ha @ E @ hb)
 
 
 # ---------------------------------------------------------------------------

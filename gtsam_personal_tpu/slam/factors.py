@@ -107,3 +107,59 @@ def full_info_noise(info):
     w = np.clip(w, 0.0, None)
     L = np.linalg.cholesky(V @ np.diag(w) @ V.T + 1e-12 * np.eye(info.shape[0]))
     return {"kind": "full", "data": L.T}
+
+
+# -- additional measurement factors (reference: gtsam/slam/) -----------------
+
+def stereo_residual(xs, meas):
+    """StereoFactor: (uL, uR, v) stereo projection residual (reference:
+    GenericStereoFactor / StereoCamera::project, geometry/StereoCamera.h).
+    meas: measured [3], cal [fx, fy, cx, cy, baseline]."""
+    pose, point = xs
+    cal = meas["cal"]
+    fx, fy, cx, cy, b = cal[0], cal[1], cal[2], cal[3], cal[4]
+    pc = se3.transform_to(pose, point)
+    z = pc[2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    uL = fx * pc[0] / z_safe + cx
+    uR = fx * (pc[0] - b) / z_safe + cx
+    v = fy * pc[1] / z_safe + cy
+    return jnp.stack([uL, uR, v]) - meas["measured"]
+
+
+def projection_residual(xs, meas):
+    """GenericProjectionFactor<Pose3, Point3, Cal3_S2> with fixed calibration
+    (reference: slam/ProjectionFactor.h). meas: measured [2], cal [5]
+    (fx, fy, s, u0, v0)."""
+    from gtsam_personal_tpu.geometry import cameras as cam_geo
+    pose, point = xs
+    pred = cam_geo.project_point(pose, point, meas["cal"], "cal3_s2")
+    return pred - meas["measured"]
+
+
+def essential_factor_residual(xs, meas):
+    """EssentialMatrixFactor: epipolar error of a calibrated point pair on an
+    essential-matrix variable (reference: slam/EssentialMatrixFactor.h)."""
+    from gtsam_personal_tpu.geometry import extra
+    (e,) = xs
+    return extra.essential_epipolar_error(e, meas["pA"], meas["pB"])
+
+
+def frobenius_between_residual(xs, meas):
+    """FrobeniusBetweenFactor<Rot3>: vec(R2 - R1 R12) (reference:
+    slam/FrobeniusFactor.h)."""
+    R1, R2 = xs
+    return (R2 - R1 @ meas["R12"]).reshape(9)
+
+
+def pose_translation_prior_residual(xs, meas):
+    """PoseTranslationPrior<Pose3> (reference: slam/PoseTranslationPrior.h)."""
+    (pose,) = xs
+    return se3.translation(pose) - meas["measured"]
+
+
+def pose_rotation_prior_residual(xs, meas):
+    """PoseRotationPrior<Pose3> (reference: slam/PoseRotationPrior.h)."""
+    from gtsam_personal_tpu.geometry import so3 as so3m
+    (pose,) = xs
+    return so3m.logmap(meas["measured"].T @ se3.rotation(pose))

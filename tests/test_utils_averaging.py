@@ -1,0 +1,140 @@
+"""Tests: timing, serialization round-trip, dot export, ATE, Karcher mean,
+translation recovery, MFAS, stereo/essential factors."""
+
+import os
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gtsam_personal_tpu.core.graph import GraphBuilder, FactorGraph
+from gtsam_personal_tpu.core.values import Values
+from gtsam_personal_tpu.geometry import so3, se3, extra
+from gtsam_personal_tpu.nonlinear import optimizers
+from gtsam_personal_tpu.sfm import averaging
+from gtsam_personal_tpu.slam import factors as F, metrics
+from gtsam_personal_tpu.utils import timing, serialization, dot
+
+
+class TestUtils:
+    def test_timing_tree(self):
+        timing.reset()
+        with timing.tic("outer"):
+            with timing.tic("inner"):
+                pass
+        rep = timing.report()
+        assert "outer" in rep and "inner" in rep
+
+    def test_serialization_roundtrip(self, tmp_path):
+        b = GraphBuilder()
+        F.add_prior(b, "se2", 0, np.zeros(3), F.diag_noise([0.3, 0.3, 0.1]))
+        F.add_between(b, "se2", 0, 1, np.array([1.0, 0, 0.1]),
+                      F.diag_noise([0.1, 0.1, 0.1]))
+        graph = b.build()
+        values = Values({"se2": jnp.asarray([[0.0, 0, 0], [1.0, 0, 0.1]])})
+        gp = str(tmp_path / "graph.npz")
+        vp = str(tmp_path / "values.npz")
+        serialization.save_graph(gp, graph)
+        serialization.save_values(vp, values)
+        g2 = serialization.load_graph(gp)
+        v2 = serialization.load_values(vp)
+        e1 = float(optimizers.graph_error(graph, values))
+        e2 = float(optimizers.graph_error(g2, v2))
+        np.testing.assert_allclose(e1, e2, rtol=1e-12)
+
+    def test_dot_export(self):
+        b = GraphBuilder()
+        F.add_between(b, "se2", 0, 1, np.array([1.0, 0, 0]), F.diag_noise([1, 1, 1]))
+        s = dot.to_dot(b.build())
+        assert "se20 -- " in s or "-- se20" in s or "se20" in s
+
+    def test_ate_alignment(self):
+        rng = np.random.default_rng(0)
+        ref = rng.normal(size=(50, 3))
+        R = np.asarray(so3.expmap(jnp.asarray([0.3, -0.2, 0.5])))
+        est = (R @ ref.T).T + np.array([1.0, 2.0, 3.0])
+        out = metrics.ate(est, ref, align=True)
+        assert out["rmse"] < 1e-10
+        out2 = metrics.ate(est, ref, align=False)
+        assert out2["rmse"] > 1.0
+
+
+class TestAveraging:
+    def test_karcher_mean(self):
+        rng = np.random.default_rng(1)
+        base = so3.expmap(jnp.asarray([0.4, -0.1, 0.2]))
+        Rs = [np.asarray(so3.compose(base, so3.expmap(
+            jnp.asarray(rng.normal(scale=0.05, size=3))))) for _ in range(20)]
+        mean = averaging.karcher_mean_so3(jnp.asarray(np.asarray(Rs)))
+        err = np.linalg.norm(np.asarray(so3.logmap(
+            jnp.asarray(np.asarray(base)).T @ mean)))
+        assert err < 0.03
+
+    def test_translation_recovery(self):
+        rng = np.random.default_rng(2)
+        truth = rng.normal(scale=2.0, size=(6, 3))
+        truth -= truth[0]
+        edges, dirs = [], []
+        for i in range(6):
+            for j in range(i + 1, 6):
+                d = truth[j] - truth[i]
+                edges.append((i, j))
+                dirs.append(d / np.linalg.norm(d))
+        edges = np.asarray(edges); dirs = np.asarray(dirs)
+        scale0 = np.linalg.norm(truth[edges[0, 1]] - truth[edges[0, 0]])
+        est = averaging.translation_recovery(edges, dirs, scale=scale0)
+        out = metrics.ate(est, truth, align=True, with_scale=True)
+        assert out["rmse"] < 1e-3, out
+
+    def test_mfas_order_consistent(self):
+        """Points on a line with consistent direction measurements: MFAS order
+        should match the line order."""
+        truth = np.array([[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0], [3.0, 0, 0]])
+        edges, dirs = [], []
+        for i in range(4):
+            for j in range(i + 1, 4):
+                d = truth[j] - truth[i]
+                edges.append((i, j)); dirs.append(d / np.linalg.norm(d))
+        order = averaging.mfas_order(np.asarray(edges), np.asarray(dirs),
+                                     np.array([1.0, 0, 0]))
+        assert order == [0, 1, 2, 3]
+        w = averaging.mfas_outlier_weights(np.asarray(edges), np.asarray(dirs),
+                                           [np.array([1.0, 0, 0])])
+        assert w.max() < 1e-12  # no inconsistency
+
+
+class TestExtraFactors:
+    def test_stereo_factor_zero_at_truth(self):
+        pose = se3.expmap(jnp.asarray([0.1, 0.0, 0.0, 0.5, 0.0, 0.0]))
+        point = jnp.asarray([0.3, -0.2, 3.0])
+        cal = jnp.asarray([500.0, 500.0, 320.0, 240.0, 0.1])
+        pc = se3.transform_to(pose, point)
+        meas = jnp.asarray([500 * pc[0] / pc[2] + 320,
+                            500 * (pc[0] - 0.1) / pc[2] + 320,
+                            500 * pc[1] / pc[2] + 240])
+        r = F.stereo_residual((pose, point), {"cal": cal, "measured": meas})
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-9)
+
+    def test_essential_factor(self):
+        """Epipolar error vanishes for corresponding points of a true E."""
+        R = np.asarray(so3.expmap(jnp.asarray([0.05, -0.1, 0.02])))
+        t = np.array([1.0, 0.2, -0.1]); t /= np.linalg.norm(t)
+        e = extra.essential_make(jnp.asarray(R), jnp.asarray(t))
+        rng = np.random.default_rng(3)
+        # world points, camera A at origin, camera B with (R, t)
+        # GTSAM convention: E = [t]x R with pB' E pA = 0 for calibrated points
+        for _ in range(5):
+            X = rng.normal(size=3) + np.array([0, 0, 5.0])
+            pA = X[:2] / X[2]
+            Xb = R.T @ (X - t)
+            pB = Xb[:2] / Xb[2]
+            r = F.essential_factor_residual(
+                (e,), {"pA": jnp.asarray(pA), "pB": jnp.asarray(pB)})
+            assert abs(float(r[0])) < 1e-9
+
+    def test_frobenius_between(self):
+        R1 = np.asarray(so3.expmap(jnp.asarray([0.1, 0.2, 0.3])))
+        R12 = np.asarray(so3.expmap(jnp.asarray([-0.2, 0.1, 0.05])))
+        r = F.frobenius_between_residual(
+            (jnp.asarray(R1), jnp.asarray(R1 @ R12)), {"R12": jnp.asarray(R12)})
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-12)
