@@ -207,6 +207,132 @@ def solve_ba_step(state: BAState, obs: BAObservations, layout, lam,
     return xc, xp
 
 
+def solve_ba_step_fm(state: BAState, obs: BAObservations, layout, lam,
+                     cg_maxiter=100, cg_tol=1e-6):
+    """Feature-major variant of the Schur-PCG step: all large arrays are laid
+    out [small-feature-dims, BIG] so TPU tiling pads at most ~2x (the
+    [C, Q, 2, 9]-style layouts of solve_ba_step pad ~50x), and every small
+    contraction is UNROLLED into elementwise multiply-adds on the VPU — exact
+    fp32, immune to MXU bf16 lowering. Same math as solve_ba_step.
+
+    Arrays: Jc4 [2][9] of [C, Q], Jp4 [2][3] of [T, P], Hpp/HppInv [9, P],
+    gc/x [9, C], gp/u [3, P]."""
+    C, P, Q, T = layout.C, layout.P, layout.Q, layout.T
+    dtype = state.points.dtype
+    r, Jc, Jp = linearize_ba(state, obs)
+
+    zrow = lambda x: jnp.concatenate(
+        [x, jnp.zeros((1,) + x.shape[1:], dtype=x.dtype)], axis=0)
+    JcT = zrow(Jc).T                                    # [18, M+1]
+    JpT = zrow(Jp).T                                    # [6, M+1]
+    rT = zrow(r).T                                      # [2, M+1]
+
+    Jc4 = JcT[:, layout.g_cam].reshape(2, 9, C, Q)
+    r_cm = rT[:, layout.g_cam].reshape(2, C, Q)
+    g_pt_tp = layout.g_pt.reshape(P, T).T               # [T, P]
+    Jp4 = JpT[:, g_pt_tp].reshape(2, 3, T, P)
+    r_pm = rT[:, g_pt_tp]                               # [2, T, P]
+
+    # unrolled small contractions (elementwise on [C,Q] / [T,P] planes)
+    def cam_apply(x):                                   # [9,C] -> a [2,C,Q]
+        return jnp.stack([
+            sum(Jc4[i, j] * x[j][:, None] for j in range(9)) for i in range(2)])
+
+    def cam_reduce(u):                                  # [2,C,Q] -> [9,C]
+        return jnp.stack([
+            sum(jnp.sum(Jc4[i, j] * u[i], axis=-1) for i in range(2))
+            for j in range(9)])
+
+    def pt_reduce(ap):                                  # [2,T,P] -> [3,P]
+        return jnp.stack([
+            sum(jnp.sum(Jp4[i, k] * ap[i], axis=0) for i in range(2))
+            for k in range(3)])
+
+    def pt_apply(u):                                    # [3,P] -> [2,T,P]
+        return jnp.stack([
+            sum(Jp4[i, k] * u[k][None, :] for k in range(3)) for i in range(2)])
+
+    Hpp = jnp.stack([
+        sum(jnp.sum(Jp4[i, k] * Jp4[i, l], axis=0) for i in range(2))
+        for k in range(3) for l in range(3)])           # [9, P]
+    Hpp = bk.add_scaled_identity_33_T(Hpp, lam + 1e-10)
+    HppInv = bk.sym33_inv_T(Hpp)                        # [9, P]
+
+    gc = cam_reduce(r_cm)                               # [9, C]
+    gp = pt_reduce(r_pm)                                # [3, P]
+
+    def cam_to_point(x_cq):                             # [2, C, Q] -> [2, T, P]
+        flat = jnp.concatenate([x_cq.reshape(2, C * Q),
+                                jnp.zeros((2, 1), dtype=dtype)], axis=1)
+        return flat[:, layout.p2c_tp]
+
+    def point_to_cam(x_tp):                             # [2, T, P] -> [2, C, Q]
+        flat = jnp.concatenate([x_tp.reshape(2, T * P),
+                                jnp.zeros((2, 1), dtype=dtype)], axis=1)
+        return flat[:, layout.c2p_tp].reshape(2, C, Q)
+
+    hp = bk.sym33_matvec_T(HppInv, gp)
+    b = -gc + cam_reduce(point_to_cam(pt_apply(hp)))    # [9, C]
+
+    def schur_matvec(x):                                # x [9, C]
+        a = cam_apply(x)                                # [2, C, Q]
+        t = pt_reduce(cam_to_point(a))                  # [3, P]
+        u = bk.sym33_matvec_T(HppInv, t)
+        bc = point_to_cam(pt_apply(u))
+        y = cam_reduce(a - bc)
+        return y + lam * x
+
+    # block-Jacobi preconditioner (one-time per step; obs-flat form)
+    Hcc = jnp.stack([
+        sum(jnp.sum(Jc4[i, j] * Jc4[i, k], axis=-1) for i in range(2))
+        for j in range(9) for k in range(9)]).T.reshape(C, 9, 9)
+    W = bk.atb(Jc, Jp, 2, 9, 3)                         # [M, 27]
+    Hi = HppInv.T[obs.point]                            # [M, 9]
+    T1 = jnp.stack([
+        sum(W[:, i * 3 + j] * Hi[:, j * 3 + k] for j in range(3))
+        for i in range(9) for k in range(3)
+    ], axis=1)
+    G = jnp.stack([
+        sum(T1[:, i * 3 + k] * W[:, l * 3 + k] for k in range(3))
+        for i in range(9) for l in range(9)
+    ], axis=1)
+    Gc = _segsum(G, obs.cam, C).reshape(C, 9, 9)
+    eye9 = jnp.eye(9, dtype=dtype)
+    Ls = jnp.linalg.cholesky(Hcc - Gc + (lam + 1e-8) * eye9)
+    cho_apply = jax.vmap(lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
+    precond = lambda x: cho_apply(Ls, x.T).T            # x [9, C]
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+    thr = (cg_tol ** 2) * jnp.vdot(b, b)
+
+    def cond(s):
+        k, x, rr, z, p, rz = s
+        return jnp.logical_and(k < cg_maxiter, jnp.vdot(rr, rr) > thr)
+
+    def body(s):
+        k, x, rr, z, p, rz = s
+        Ap = schur_matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        rr = rr - alpha * Ap
+        z = precond(rr)
+        rz_new = jnp.vdot(rr, z)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        p = z + beta * p
+        return k + 1, x, rr, z, p, rz_new
+
+    _, xc, *_ = jax.lax.while_loop(cond, body, (0, x0, r0, z0, p0, rz0))
+
+    t = pt_reduce(cam_to_point(cam_apply(xc)))
+    xp = bk.sym33_matvec_T(HppInv, -gp - t)
+    return xc.T, xp.T
+
+
 def retract_ba(state: BAState, xc, xp) -> BAState:
     new_poses = jax.vmap(se3.retract)(state.cam_poses, xc[:, :6])
     return BAState(new_poses, state.cam_cals + xc[:, 6:9], state.points + xp)
@@ -214,7 +340,7 @@ def retract_ba(state: BAState, xc, xp) -> BAState:
 
 @partial(jax.jit, static_argnames=("cg_maxiter",))
 def ba_try_step(state: BAState, obs: BAObservations, layout, lam, cg_maxiter=100):
-    xc, xp = solve_ba_step(state, obs, layout, lam, cg_maxiter=cg_maxiter)
+    xc, xp = solve_ba_step_fm(state, obs, layout, lam, cg_maxiter=cg_maxiter)
     new_state = retract_ba(state, xc, xp)
     return new_state, ba_error(new_state, obs)
 

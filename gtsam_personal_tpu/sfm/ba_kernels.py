@@ -88,3 +88,38 @@ def add_scaled_identity_33(Hflat, lam):
     for k in (0, 4, 8):
         out = out.at[:, k].add(lam)
     return out
+
+
+# ---- feature-major (transposed) variants: arrays [k, N] with N on lanes ----
+
+def sym33_inv_T(Hflat):
+    """Inverse of symmetric 3x3 matrices stored flat-transposed [9, N]."""
+    a, b, c = Hflat[0], Hflat[1], Hflat[2]
+    d, e = Hflat[4], Hflat[5]
+    f = Hflat[8]
+    A = d * f - e * e
+    B = c * e - b * f
+    C = b * e - c * d
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    inv_det = 1.0 / det
+    D = a * f - c * c
+    E = b * c - a * e
+    F = a * d - b * b
+    return jnp.stack([A, B, C, B, D, E, C, E, F], axis=0) * inv_det[None, :]
+
+
+def sym33_matvec_T(Hflat, x):
+    """[9, N] symmetric (row-major 3x3) times [3, N] -> [3, N]."""
+    return jnp.stack([
+        Hflat[0] * x[0] + Hflat[1] * x[1] + Hflat[2] * x[2],
+        Hflat[3] * x[0] + Hflat[4] * x[1] + Hflat[5] * x[2],
+        Hflat[6] * x[0] + Hflat[7] * x[1] + Hflat[8] * x[2],
+    ], axis=0)
+
+
+def add_scaled_identity_33_T(Hflat, lam):
+    out = Hflat
+    for k in (0, 4, 8):
+        out = out.at[k].add(lam)
+    return out

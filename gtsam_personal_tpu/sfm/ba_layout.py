@@ -26,7 +26,8 @@ import jax.numpy as jnp
 class BALayout:
     """Static dual-layout index plan for one observation structure."""
 
-    def __init__(self, C, P, M, Q, T, g_cam, g_pt, p2c, c2p, pt_of_cm, cam_mask, pt_mask):
+    def __init__(self, C, P, M, Q, T, g_cam, g_pt, p2c, c2p, pt_of_cm,
+                 cam_mask, pt_mask, p2c_tp=None, c2p_tp=None):
         self.C, self.P, self.M, self.Q, self.T = C, P, M, Q, T
         self.g_cam = g_cam        # [C*Q] obs index per cam-major slot (M = dead)
         self.g_pt = g_pt          # [P*T] obs index per point-major slot
@@ -35,10 +36,12 @@ class BALayout:
         self.pt_of_cm = pt_of_cm  # [C*Q] point id per cam-major slot (P = dead)
         self.cam_mask = cam_mask  # [C*Q] 1.0 for live slots
         self.pt_mask = pt_mask    # [P*T]
+        self.p2c_tp = p2c_tp      # [T, P] cam-major flat pos per (t, p) slot
+        self.c2p_tp = c2p_tp      # [C*Q] (t,p)-flat pos per cam-major slot
 
     def tree_flatten(self):
         arrs = (self.g_cam, self.g_pt, self.p2c, self.c2p, self.pt_of_cm,
-                self.cam_mask, self.pt_mask)
+                self.cam_mask, self.pt_mask, self.p2c_tp, self.c2p_tp)
         return arrs, (self.C, self.P, self.M, self.Q, self.T)
 
     @classmethod
@@ -81,8 +84,19 @@ class BALayout:
         pt_mask[slot_p] = 1.0
 
         j = jnp.asarray
+        # feature-major variants: gather targets arranged so outputs tile as
+        # (small, BIG): [T, P] for the point side, [C, Q] for the camera side.
+        # cam->point perm producing [*, T, P]: source cam-major flat position
+        # for output slot (t, p)
+        p2c_tp = p2c.reshape(P, T).T.copy()              # [T, P]
+        # point->cam perm producing [*, C, Q]: source must index the
+        # (t, p)-ordered point flat layout
+        slot_p_t = (slot_p % T) * P + (slot_p // T)      # obs -> (t,p) flat
+        c2p_tp = np.full(C * Q, P * T, dtype=np.int64)
+        c2p_tp[slot_c] = slot_p_t
         return BALayout(C, P, M, Q, T, j(g_cam), j(g_pt), j(p2c), j(c2p),
-                        j(pt_of_cm), j(cam_mask), j(pt_mask))
+                        j(pt_of_cm), j(cam_mask), j(pt_mask),
+                        j(p2c_tp), j(c2p_tp))
 
     # ---- device-side layout operations ----
     def to_cam_major(self, x_obs, fill=0.0):
