@@ -1,0 +1,44 @@
+"""Bundle adjustment on a BAL file.
+
+Mirrors the reference's examples/SFMExample_bal.cpp: load the BAL problem,
+run LM with the implicit-Schur PCG engine, report reprojection statistics.
+
+  python examples/sfm_example_bal.py [path-to-bal.txt]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+from gtsam_personal_tpu.sfm import bal, ba
+from gtsam_personal_tpu.slam.dataset import find_example_data
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path", nargs="?", default=None)
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+    if args.path is None:
+        args.path = find_example_data("dubrovnik-3-7-pre.txt")
+
+    prob = bal.load_bal(args.path)
+    print(f"cameras={prob.num_cameras} points={prob.num_points} "
+          f"observations={prob.num_observations}")
+    state, obs = ba.state_from_bal(prob)
+    layout = ba.make_layout(obs, prob.num_cameras, prob.num_points)
+    e0 = float(ba.ba_error(state, obs))
+    print("initial: error %.6g, rms %.3f px" % (
+        e0, np.sqrt(2 * e0 / prob.num_observations)))
+    t0 = time.time()
+    final, err, iters = ba.optimize_ba(state, obs, layout,
+                                       max_iterations=args.iters, verbose=True)
+    dt = time.time() - t0
+    print("final: error %.6g, rms %.3f px, %d iterations in %.2fs "
+          "(%.2f it/s)" % (err, np.sqrt(2 * err / prob.num_observations),
+                           iters, dt, iters / max(dt, 1e-9)))
+
+
+if __name__ == "__main__":
+    main()
