@@ -1,1 +1,3 @@
-
+"""Discrete inference (reference: gtsam/discrete/)."""
+from gtsam_personal_tpu.discrete.discrete import (DiscreteFactor, DiscreteFactorGraph,
+                                                  DiscreteConditional, DiscreteBayesNet, cpt)

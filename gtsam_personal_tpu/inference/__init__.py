@@ -1,1 +1,3 @@
-
+"""Elimination structure analysis: variable indexing, partitioning
+(reference: gtsam/inference/)."""
+from gtsam_personal_tpu.inference import partition

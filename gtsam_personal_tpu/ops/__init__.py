@@ -1,1 +1,1 @@
-
+"""Pallas TPU kernels and low-level compute ops."""
