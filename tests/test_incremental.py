@@ -80,8 +80,8 @@ def test_marginal_factor_info_matches_schur():
 def test_fixed_lag_smoother_tracks_batch():
     """Sliding-window estimates of recent states match full batch."""
     rng = np.random.default_rng(3)
-    n = 20
-    smoother = FixedLagSmoother(lag=6.0,
+    n = 10
+    smoother = FixedLagSmoother(lag=4.0,
                                 params=optimizers.Params(max_iterations=8))
     all_b = GraphBuilder()
     poses = np.zeros((n, 3))
