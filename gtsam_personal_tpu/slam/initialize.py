@@ -113,3 +113,79 @@ def chordal_init(graph: FactorGraph, num_poses: int, group: str = "se3",
 
     poses = jnp.concatenate([R, t_sol["t3"][:, :, None]], axis=2)
     return Values({"se3": poses})
+
+
+# ---------------------------------------------------------------------------
+# LAGO-style linear initialization for 2D pose graphs
+# (reference: slam/lago.h:81-89 — linear angle-graph orientation estimate,
+# then linear positions; orientations here use the SO(2) chordal relaxation
+# on (cos, sin) vectors, the robust variant of the angle graph)
+# ---------------------------------------------------------------------------
+
+manifolds.vector_space("rot2c", 2)
+manifolds.vector_space("t2", 2)
+
+
+def _rot2_residual(xs, meas):
+    ci, cj = xs
+    c, s = meas["c"], meas["s"]
+    # c_j - R(theta_ij) c_i, with c = (cos, sin) of the absolute orientation
+    return jnp.stack([cj[0] - (c * ci[0] - s * ci[1]),
+                      cj[1] - (s * ci[0] + c * ci[1])])
+
+
+def _rot2_prior(xs, meas):
+    return xs[0] - meas["prior"]
+
+
+def _t2_residual(xs, meas):
+    ti, tj = xs
+    return tj - ti - meas["dt"]
+
+
+def lago_init_2d(graph: FactorGraph, num_poses: int) -> Values:
+    """Linear 2D pose-graph initialization (orientation chordal + linear
+    positions). Extracts `between_se2` batches; anchors pose 0."""
+    edges = []
+    for b in graph.batches:
+        if b.name == "between_se2":
+            edges.append((np.asarray(b.idx), np.asarray(b.meas["measured"])))
+    if not edges:
+        raise ValueError("no between_se2 factors found")
+    ij = np.concatenate([e[0] for e in edges], axis=0)
+    m = np.concatenate([e[1] for e in edges], axis=0)
+    dtype = m.dtype
+    n = num_poses
+
+    rot_b = FactorBatch(
+        "lago_rot", _rot2_residual, ("rot2c", "rot2c"), 2,
+        jnp.asarray(ij), {"c": jnp.asarray(np.cos(m[:, 2])),
+                          "s": jnp.asarray(np.sin(m[:, 2]))},
+        NoiseModel("unit"))
+    rot_p = FactorBatch(
+        "lago_rot_prior", _rot2_prior, ("rot2c",), 2,
+        jnp.zeros((1, 1), dtype=jnp.int32),
+        {"prior": jnp.asarray(np.array([[1.0, 0.0]], dtype=dtype))},
+        NoiseModel("diag", jnp.full((1, 2), 1e3, dtype=dtype)))
+    rg = FactorGraph([rot_p, rot_b])
+    r_init = Values({"rot2c": jnp.tile(jnp.asarray(np.array([1.0, 0.0], dtype=dtype)), (n, 1))})
+    use_pcg = n * 2 > 6000
+    r_sol = _solve_linear(rg, r_init, use_pcg)
+    cs = np.asarray(r_sol["rot2c"])
+    theta = np.arctan2(cs[:, 1], cs[:, 0])
+
+    # positions with orientations fixed
+    ct, st = np.cos(theta[ij[:, 0]]), np.sin(theta[ij[:, 0]])
+    dt = np.stack([ct * m[:, 0] - st * m[:, 1],
+                   st * m[:, 0] + ct * m[:, 1]], axis=1).astype(dtype)
+    t_b = FactorBatch("lago_t", _t2_residual, ("t2", "t2"), 2,
+                      jnp.asarray(ij), {"dt": jnp.asarray(dt)}, NoiseModel("unit"))
+    t_p = FactorBatch("lago_t_prior", _rot2_prior, ("t2",), 2,
+                      jnp.zeros((1, 1), dtype=jnp.int32),
+                      {"prior": jnp.zeros((1, 2), dtype=dtype)},
+                      NoiseModel("diag", jnp.full((1, 2), 1e3, dtype=dtype)))
+    tg = FactorGraph([t_p, t_b])
+    t_sol = _solve_linear(tg, Values({"t2": jnp.zeros((n, 2), dtype=dtype)}), use_pcg)
+    t = np.asarray(t_sol["t2"])
+    return Values({"se2": jnp.asarray(
+        np.concatenate([t, theta[:, None]], axis=1).astype(dtype))})
