@@ -125,6 +125,7 @@ def load_2d(path, noise_format="auto", prior_sigmas=(0.3, 0.3, 0.1), dtype=np.fl
     """
     vertices = {}
     eij, emeas, einfo = [], [], []
+    br = []   # bearing-range: (pose, landmark, bearing, range, b_std, r_std)
     with open(path) as f:
         for line in f:
             parts = line.split()
@@ -139,6 +140,23 @@ def load_2d(path, noise_format="auto", prior_sigmas=(0.3, 0.3, 0.1), dtype=np.fl
                 eij.append((i, j))
                 emeas.append(vals[:3])
                 einfo.append(vals[3:9])
+            elif tag == "BR":
+                # bearing-range landmark measurement (dataset.cpp:463)
+                i, j = int(parts[1]), int(parts[2])
+                bearing, rng_, b_std, r_std = map(float, parts[3:7])
+                br.append((i, j, bearing, rng_, b_std, r_std))
+            elif tag == "LANDMARK":
+                # x-y landmark sighting converted to bearing-range
+                # (dataset.cpp:465-486)
+                i, j = int(parts[1]), int(parts[2])
+                lmx, lmy, v1, v2, v3 = map(float, parts[3:8])
+                bearing = np.arctan2(lmy, lmx)
+                rng_ = np.hypot(lmx, lmy)
+                if abs(v1 - v3) < 1e-4:
+                    b_std, r_std = np.sqrt(v1 / 10.0), np.sqrt(v1)
+                else:
+                    b_std, r_std = 1.0, 1.0
+                br.append((i, j, bearing, rng_, b_std, r_std))
     eij = np.asarray(eij, dtype=np.int32)
     emeas = np.asarray(emeas, dtype=dtype)
     einfo = _noise_2d(np.asarray(einfo), noise_format).astype(dtype)
@@ -164,7 +182,37 @@ def load_2d(path, noise_format="auto", prior_sigmas=(0.3, 0.3, 0.1), dtype=np.fl
         {"prior": jnp.asarray(poses[:1])},
         NoiseModel("diag", jnp.asarray(prior_w)))
 
-    return FactorGraph([prior, between]), Values({"se2": jnp.asarray(poses)})
+    batches = [prior, between]
+    values = {"se2": jnp.asarray(poses)}
+    if br:
+        arr = np.asarray(br, dtype=dtype)
+        pose_ids = arr[:, 0].astype(np.int32)
+        lm_ids_raw = arr[:, 1].astype(np.int64)
+        # landmark ids in files are global keys; remap to a dense point2 block
+        uniq = np.unique(lm_ids_raw)
+        remap = {int(v): k for k, v in enumerate(uniq)}
+        lm_ids = np.asarray([remap[int(v)] for v in lm_ids_raw], dtype=np.int32)
+        idx = np.stack([pose_ids, lm_ids], axis=1)
+        w = np.stack([1.0 / arr[:, 4], 1.0 / arr[:, 5]], axis=1).astype(dtype)
+        br_batch = FactorBatch(
+            "bearing_range_2d", F.bearing_range_2d_residual, ("se2", "point2"), 2,
+            jnp.asarray(idx),
+            {"bearing": jnp.asarray(arr[:, 2]), "range": jnp.asarray(arr[:, 3])},
+            NoiseModel("diag", jnp.asarray(w)))
+        batches.append(br_batch)
+        # initialize landmarks from the first sighting
+        lms = np.zeros((len(uniq), 2), dtype=dtype)
+        seen = np.zeros(len(uniq), dtype=bool)
+        for k in range(len(arr)):
+            li = lm_ids[k]
+            if not seen[li]:
+                p = poses[pose_ids[k]]
+                c, s_ = np.cos(p[2] + arr[k, 2]), np.sin(p[2] + arr[k, 2])
+                lms[li] = [p[0] + arr[k, 3] * c, p[1] + arr[k, 3] * s_]
+                seen[li] = True
+        values["point2"] = jnp.asarray(lms)
+
+    return FactorGraph(batches), Values(values)
 
 
 def load_3d(path, prior_sigmas=(0.1, 0.1, 0.1, 0.3, 0.3, 0.3), dtype=np.float64,

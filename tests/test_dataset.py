@@ -60,3 +60,25 @@ def test_noisy_toy_graph_matches_reference_output():
     want = np.array([golden[i] for i in range(len(golden))])
     # anchor gauge: both solutions have pose0 approx at origin via prior
     np.testing.assert_allclose(got[:, :2], want[:, :2], atol=0.05)
+
+
+def test_load_landmark_bearing_range():
+    """example.graph / victoria_park.txt carry LANDMARK sightings -> the
+    graph gains a bearing-range batch and a point2 block (reference:
+    dataset.cpp:463-486)."""
+    graph, initial = dataset.load_2d(dataset.find_example_data("example.graph"))
+    names = [b.name for b in graph.batches]
+    assert "bearing_range_2d" in names
+    assert "point2" in initial.blocks
+    e0 = float(optimizers.graph_error(graph, initial))
+    assert np.isfinite(e0)
+    res = optimizers.optimize_lm(graph, initial,
+                                 optimizers.Params(max_iterations=15))
+    assert res.error < e0
+
+
+def test_victoria_park_loads():
+    graph, initial = dataset.load_2d(dataset.find_example_data("victoria_park.txt"))
+    assert "point2" in initial.blocks
+    assert initial["point2"].shape[0] > 100
+    assert np.isfinite(float(optimizers.graph_error(graph, initial)))
