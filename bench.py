@@ -5,7 +5,7 @@ Headline: bundle-adjustment LM iterations/sec/chip at BAL Ladybug-1723 scale
 not shipped in-repo, so a synthetic problem of identical shape is used —
 sfm/synthetic.py). One iteration = full batched relinearization (autodiff
 through SE(3) retraction + Cal3Bundler projection for every observation) +
-implicit-Schur PCG camera solve + landmark back-substitution + retract +
+implicit-Schur PCG camera solve (10 CG iterations, inexact-Newton) + landmark back-substitution + retract +
 error, entirely on device in fp32.
 
 vs_baseline: Ceres/GTSAM-class CPU bundle adjusters run ~1 LM iteration/sec
@@ -35,20 +35,21 @@ def main():
     lam = jnp.float32(1e-4)
     # compile + warmup (block_until_ready is unreliable on the axon backend:
     # sync via a host transfer)
-    st, err = ba.ba_try_step(state, obs, layout, lam, cg_maxiter=25)
+    st, err = ba.ba_try_step(state, obs, layout, lam, cg_maxiter=10)
     float(err)
 
     iters = 10
     t0 = time.perf_counter()
     st2 = state
     for _ in range(iters):
-        st2, err = ba.ba_try_step(st2, obs, layout, lam, cg_maxiter=25)
+        st2, err = ba.ba_try_step(st2, obs, layout, lam, cg_maxiter=10)
     float(err)
     dt = time.perf_counter() - t0
 
     iters_per_sec = iters / dt
     rms = float(np.sqrt(2 * float(err) / obs.uv.shape[0]))
     assert np.isfinite(rms), "BA produced non-finite error"
+    assert rms < 1.5, f"BA failed to reach the 1px noise floor (rms={rms})"
     baseline_iters_per_sec = 1.0
     print(json.dumps({
         "metric": "ba_lm_iters_per_sec_ladybug1723_scale",
