@@ -62,6 +62,22 @@ class Values:
                 out[g] = jax.vmap(manifolds.get(g).retract)(x, d)
         return Values(out)
 
+    def retract_masked(self, tangent: Dict[str, jnp.ndarray],
+                       mask: Dict[str, jnp.ndarray]) -> "Values":
+        """Retract only where mask is True (reference: Values::retractMasked,
+        Values.h:229 — used by ISAM2 partial relinearization)."""
+        out = {}
+        for g, x in self.blocks.items():
+            d = tangent.get(g)
+            if d is None:
+                out[g] = x
+                continue
+            m = mask.get(g)
+            if m is not None:
+                d = d * m[:, None].astype(d.dtype)
+            out[g] = jax.vmap(manifolds.get(g).retract)(x, d)
+        return Values(out)
+
     def local(self, other: "Values") -> Dict[str, jnp.ndarray]:
         """Tangent from self to other, per variable."""
         return {

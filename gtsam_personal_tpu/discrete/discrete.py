@@ -124,6 +124,21 @@ class DiscreteFactorGraph:
         m = jnp.sum(t, axis=other) if other else t
         return m / jnp.sum(m)
 
+    def k_best(self, k: int) -> List[Tuple[Dict[int, int], float]]:
+        """Top-k assignments by joint potential (reference: DiscreteSearch,
+        discrete/DiscreteSearch.h). Exact enumeration over the joint domain —
+        the domains in the reference's own use cases are small."""
+        prod = _multiply(self.factors)
+        flat = np.asarray(prod.table).reshape(-1)
+        order = np.argsort(-flat)[:k]
+        shape = prod.table.shape
+        out = []
+        for f in order:
+            idx = np.unravel_index(int(f), shape)
+            out.append(({v: int(i) for v, i in zip(prod.vars, idx)},
+                        float(flat[f])))
+        return out
+
     def variables(self) -> List[int]:
         seen = []
         for f in self.factors:

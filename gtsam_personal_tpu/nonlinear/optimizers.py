@@ -49,6 +49,23 @@ class Params:
     diagonal_damping: bool = False
     max_inner_tries: int = 10
     verbose: bool = False
+    # reference: NonlinearOptimizerParams::iterationHook(iter, errBefore,
+    # errAfter), called after every accepted iteration
+    # (NonlinearOptimizer.cpp:99). Callable, excluded from hashing/jit keys.
+    iteration_hook: object = None
+
+    def __hash__(self):
+        return hash(tuple(getattr(self, f.name) for f in
+                          __import__("dataclasses").fields(self)
+                          if f.name != "iteration_hook"))
+
+    def __eq__(self, other):
+        import dataclasses
+        if not isinstance(other, Params):
+            return NotImplemented
+        return all(getattr(self, f.name) == getattr(other, f.name)
+                   for f in dataclasses.fields(self)
+                   if f.name != "iteration_hook")
 
 
 def check_convergence(params: Params, old_err, new_err):
@@ -139,6 +156,8 @@ def optimize_lm(graph: FactorGraph, values: Values, params: Params = Params(),
         if params.verbose:
             print(f"LM iter {it}: error {err:.6g} -> {new_err:.6g} (lambda {lam:.2g})")
         values, old_err, err = new_values, err, new_err
+        if params.iteration_hook is not None:
+            params.iteration_hook(it, old_err, err)
         lam = max(lam / params.lambda_factor, params.lambda_lower_bound, 1e-10)
         if check_convergence(params, old_err, err):
             return Result(values, err, it + 1, True, lam)
