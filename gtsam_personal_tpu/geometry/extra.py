@@ -203,3 +203,61 @@ def plane_transform(plane, pose):
     n2 = R.T @ n
     d2 = d - jnp.dot(n, t)
     return jnp.concatenate([n2, jnp.atleast_1d(d2)])
+
+
+# ---------------------------------------------------------------------------
+# Line3 — 3D line manifold, 4-dof (reference: geometry/Line3.h: rotation R
+# mapping the line to the z-axis + (a, b) intersection with the z=0 plane
+# of the rotated frame)
+# ---------------------------------------------------------------------------
+
+def line3_make(R, a, b):
+    """Store as [3, 4]: rotation + column (a, b, 0)."""
+    col = jnp.stack([a, b, jnp.zeros_like(a)])
+    return jnp.concatenate([R, col[:, None]], axis=1)
+
+
+def line3_retract(l, xi):
+    """xi = (w1, w2, da, db): rotate about the two axes orthogonal to the
+    line direction, shift (a, b) (reference: Line3::retract)."""
+    R = l[:, :3]
+    w = jnp.stack([xi[0], xi[1], jnp.zeros((), dtype=xi.dtype)])
+    Rn = R @ so3.expmap(w)
+    return line3_make(Rn, l[0, 3] + xi[2], l[1, 3] + xi[3])
+
+
+def line3_local(l1, l2):
+    w = so3.logmap(l1[:, :3].T @ l2[:, :3])
+    return jnp.stack([w[0], w[1], l2[0, 3] - l1[0, 3], l2[1, 3] - l1[1, 3]])
+
+
+LINE3 = manifolds.register(manifolds.Manifold(
+    "line3", 4, (3, 4), line3_retract, line3_local,
+    lambda dtype=jnp.float32: line3_make(jnp.eye(3, dtype=dtype),
+                                         jnp.zeros((), dtype=dtype),
+                                         jnp.zeros((), dtype=dtype))))
+
+
+def line3_point(l, t):
+    """Point on the line at parameter t (direction is R @ z)."""
+    R = l[:, :3]
+    base = R @ jnp.stack([l[0, 3], l[1, 3], jnp.zeros((), dtype=l.dtype)])
+    return base + t * (R @ jnp.array([0.0, 0.0, 1.0], dtype=l.dtype))
+
+
+# ---------------------------------------------------------------------------
+# SphericalCamera — unit-vector measurements (reference:
+# geometry/SphericalCamera.h: project returns the bearing Unit3)
+# ---------------------------------------------------------------------------
+
+def spherical_project(pose, point):
+    """World point -> unit bearing in the camera frame."""
+    pc = se3.transform_to(pose, point)
+    return pc / jnp.maximum(jnp.linalg.norm(pc), 1e-12)
+
+
+def spherical_reprojection_error(pose, point, measured_unit):
+    """2-dof tangent error between predicted and measured bearings
+    (reference: SphericalCamera::reprojectionError)."""
+    pred = spherical_project(pose, point)
+    return unit3_local(measured_unit, pred)

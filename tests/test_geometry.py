@@ -176,3 +176,41 @@ class TestManifoldRegistry:
         ys = manifolds.batched_retract(m, xs, deltas)
         back = manifolds.batched_local(m, xs, ys)
         np.testing.assert_allclose(np.array(back), np.array(deltas), atol=1e-9)
+
+
+class TestExtraGeometry:
+    def test_line3_retract_local(self):
+        from gtsam_personal_tpu.geometry import extra
+        l = extra.LINE3.identity(jnp.float64)
+        xi = jnp.array([0.1, -0.2, 0.5, 0.3])
+        l2 = extra.line3_retract(l, xi)
+        np.testing.assert_allclose(np.asarray(extra.line3_local(l, l2)),
+                                   np.asarray(xi), atol=1e-9)
+
+    def test_spherical_camera(self):
+        from gtsam_personal_tpu.geometry import extra, se3 as se3m
+        pose = se3m.expmap(jnp.asarray([0.1, 0.2, -0.1, 1.0, 2.0, 3.0]))
+        point = jnp.asarray([0.5, -1.0, 4.0])
+        bearing = extra.spherical_project(pose, point)
+        np.testing.assert_allclose(float(jnp.linalg.norm(bearing)), 1.0, atol=1e-12)
+        err = extra.spherical_reprojection_error(pose, point, bearing)
+        np.testing.assert_allclose(np.asarray(err), 0.0, atol=1e-12)
+
+    def test_unit3_roundtrip(self):
+        from gtsam_personal_tpu.geometry import extra
+        n = jnp.asarray([0.0, 0.0, 1.0])
+        xi = jnp.asarray([0.3, -0.2])
+        m = extra.unit3_retract(n, xi)
+        np.testing.assert_allclose(np.asarray(extra.unit3_local(n, m)),
+                                   np.asarray(xi), atol=1e-9)
+
+    def test_sim3_group(self):
+        from gtsam_personal_tpu.geometry import extra
+        xi = jnp.asarray([0.1, -0.2, 0.3, 1.0, 2.0, -1.0, 0.2])
+        g = extra.sim3_expmap(xi)
+        np.testing.assert_allclose(np.asarray(extra.sim3_logmap(g)),
+                                   np.asarray(xi), atol=1e-9)
+        ginv = extra.sim3_inverse(g)
+        ident = extra.sim3_compose(g, ginv)
+        np.testing.assert_allclose(np.asarray(extra.sim3_R(ident)), np.eye(3), atol=1e-12)
+        np.testing.assert_allclose(float(extra.sim3_s(ident)), 1.0, atol=1e-12)

@@ -154,3 +154,39 @@ class TestGpsFactor:
         pose = se3.expmap(jnp.array([0.1, 0.2, 0.3, 1.0, 2.0, 3.0]))
         r = nav_factors.gps_residual((pose,), {"measured": se3.translation(pose)})
         np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-12)
+
+
+class TestScenarioRunner:
+    def test_monte_carlo_covariance(self):
+        """Sampled preintegration covariance should match the propagated
+        covariance (reference: ScenarioRunner::estimateCovariance /
+        Monte-Carlo checks in testImuFactor.cpp)."""
+        import jax
+        scen = ConstantTwistScenario(np.array([0.0, 0.0, 0.3]),
+                                     np.array([1.0, 0.0, 0.0]))
+        params = pre.PreintegrationParams.make_shared_u(
+            g=9.81, accel_sigma=0.05, gyro_sigma=0.02, integration_sigma=0.0)
+        dt, t_end = 0.01, 0.5
+        accs, gyros, dts = scen.imu_measurements(t_end, dt, params.gravity)
+        accs, gyros, dts = map(jnp.asarray, (accs, gyros, dts))
+        pim = pre.integrate(params, jnp.zeros(6), accs, gyros, dts)
+
+        def sample_zeta(key):
+            k1, k2 = jax.random.split(key)
+            # discrete-time noise: sigma/sqrt(dt)
+            na = 0.05 / np.sqrt(dt) * jax.random.normal(k1, accs.shape)
+            ng = 0.02 / np.sqrt(dt) * jax.random.normal(k2, gyros.shape)
+            return pre.integrate(params, jnp.zeros(6), accs + na, gyros + ng,
+                                 dts).zeta
+
+        N = 300
+        keys = jax.random.split(jax.random.PRNGKey(0), N)
+        zetas = np.asarray(jax.vmap(sample_zeta)(keys))
+        sample_cov = np.cov(zetas.T)
+        prop_cov = np.asarray(pim.cov)
+        # compare the dominant diagonal entries within Monte-Carlo tolerance
+        d_s = np.diag(sample_cov)
+        d_p = np.diag(prop_cov)
+        mask = d_p > 1e-10
+        ratio = d_s[mask] / d_p[mask]
+        assert np.all(ratio > 0.6) and np.all(ratio < 1.6), ratio
