@@ -138,3 +138,33 @@ class TestExtraFactors:
         r = F.frobenius_between_residual(
             (jnp.asarray(R1), jnp.asarray(R1 @ R12)), {"R12": jnp.asarray(R12)})
         np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-12)
+
+
+class TestDebugSampler:
+    def test_debug_flags(self):
+        from gtsam_personal_tpu.utils import debug
+        debug.clear_debug()
+        assert not debug.is_debug("x")
+        debug.set_debug("x")
+        assert debug.is_debug("x")
+        debug.clear_debug()
+
+    def test_noise_sampler_covariance(self):
+        import jax
+        from gtsam_personal_tpu.linear import sampler
+        from gtsam_personal_tpu.linear import noise as nm
+        cov = np.array([[2.0, 0.5], [0.5, 1.0]])
+        model = nm.covariance(cov)
+        v = sampler.sample_noise(jax.random.PRNGKey(0), model, (4000,))
+        sample_cov = np.cov(np.asarray(v).T)
+        np.testing.assert_allclose(sample_cov, cov, atol=0.15)
+
+    def test_weighted_sampling(self):
+        import jax
+        from gtsam_personal_tpu.linear.sampler import weighted_sample_without_replacement
+        w = np.array([0.01, 0.01, 10.0, 0.01])
+        counts = np.zeros(4)
+        for s in range(100):
+            idx = weighted_sample_without_replacement(jax.random.PRNGKey(s), w, 1)
+            counts[int(idx[0])] += 1
+        assert counts[2] > 80
