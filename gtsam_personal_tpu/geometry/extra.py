@@ -47,7 +47,9 @@ def unit3_local(n, m):
     perp = m - c * n
     s = jnp.linalg.norm(perp)
     s_safe = jnp.where(s < 1e-12, 1.0, s)
-    scale = jnp.where(s < 1e-12, 0.0, theta / s_safe)
+    # limit theta/s -> 1 as m -> n; using the limit value in the guard branch
+    # keeps autodiff correct at coincidence (v ~= perp there)
+    scale = jnp.where(s < 1e-12, 1.0, theta / s_safe)
     v = scale * perp
     return jnp.stack([jnp.dot(v, b1), jnp.dot(v, b2)])
 
