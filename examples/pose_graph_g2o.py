@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--3d", dest="three_d", action="store_true")
     ap.add_argument("--out", default=None)
     ap.add_argument("--max-part", type=int, default=128)
+    ap.add_argument("--fmt", default="quat", choices=["quat", "edge3"],
+                    help="3D output format: EDGE_SE3:QUAT or EDGE3")
     args = ap.parse_args()
 
     if args.path is None:
@@ -59,8 +61,11 @@ def main():
     print(f"final error: {res.error:.6g} in {res.iterations} iterations "
           f"({time.time()-t0:.2f}s), converged={res.converged}")
 
-    if args.out and not args.three_d:
-        dataset.write_g2o_2d(args.out, res.values, graph)
+    if args.out:
+        if args.three_d:
+            dataset.write_g2o_3d(args.out, res.values, graph, fmt=args.fmt)
+        else:
+            dataset.write_g2o_2d(args.out, res.values, graph)
         print("wrote", args.out)
 
 

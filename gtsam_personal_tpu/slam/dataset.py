@@ -47,6 +47,8 @@ def _sqrt_info_from_info(info: np.ndarray) -> np.ndarray:
 def _noise_2d(v6: np.ndarray, fmt: str) -> np.ndarray:
     """6-vector rows -> 3x3 information matrices per the reference conventions."""
     K = v6.shape[0]
+    if K == 0:
+        return np.zeros((0, 3, 3))
     if fmt == "auto":
         r = v6[0]
         if r[0] != 0 and r[1] == 0 and r[2] != 0 and r[3] != 0 and r[4] == 0 and r[5] == 0:
@@ -157,11 +159,12 @@ def load_2d(path, noise_format="auto", prior_sigmas=(0.3, 0.3, 0.1), dtype=np.fl
                 else:
                     b_std, r_std = 1.0, 1.0
                 br.append((i, j, bearing, rng_, b_std, r_std))
-    eij = np.asarray(eij, dtype=np.int32)
-    emeas = np.asarray(emeas, dtype=dtype)
-    einfo = _noise_2d(np.asarray(einfo), noise_format).astype(dtype)
+    eij = np.asarray(eij, dtype=np.int32).reshape(-1, 2)
+    emeas = np.asarray(emeas, dtype=dtype).reshape(-1, 3)
+    einfo = _noise_2d(np.asarray(einfo).reshape(-1, 6), noise_format).astype(dtype)
 
-    n = int(max(eij.max(), max(vertices) if vertices else 0)) + 1
+    n = int(max(eij.max() if eij.size else -1,
+                max(vertices) if vertices else -1)) + 1
     if vertices:
         poses = np.zeros((n, 3), dtype=dtype)
         for k, v in vertices.items():
@@ -182,7 +185,7 @@ def load_2d(path, noise_format="auto", prior_sigmas=(0.3, 0.3, 0.1), dtype=np.fl
         {"prior": jnp.asarray(poses[:1])},
         NoiseModel("diag", jnp.asarray(prior_w)))
 
-    batches = [prior, between]
+    batches = [prior] + ([between] if len(eij) else [])
     values = {"se2": jnp.asarray(poses)}
     if br:
         arr = np.asarray(br, dtype=dtype)
@@ -270,10 +273,11 @@ def load_3d(path, prior_sigmas=(0.1, 0.1, 0.1, 0.3, 0.3, 0.3), dtype=np.float64,
                 G[:3, 3:] = M[3:, :3]
                 eij.append((i, j)); eT.append(T); einfo.append(G)
 
-    eij = np.asarray(eij, dtype=np.int32)
-    eT = np.asarray(eT, dtype=dtype)
-    einfo = np.asarray(einfo, dtype=dtype)
-    n = int(max(eij.max(), max(vertices) if vertices else 0)) + 1
+    eij = np.asarray(eij, dtype=np.int32).reshape(-1, 2)
+    eT = np.asarray(eT, dtype=dtype).reshape(-1, 3, 4)
+    einfo = np.asarray(einfo, dtype=dtype).reshape(-1, 6, 6)
+    n = int(max(eij.max() if eij.size else -1,
+                max(vertices) if vertices else -1)) + 1
 
     if vertices and init == "vertices" or (vertices and len(vertices) == n):
         poses = np.zeros((n, 3, 4), dtype=dtype)
@@ -302,11 +306,23 @@ def load_3d(path, prior_sigmas=(0.1, 0.1, 0.1, 0.3, 0.3, 0.3), dtype=np.float64,
         {"prior": jnp.asarray(poses[:1])},
         NoiseModel("diag", jnp.asarray(prior_w)))
 
-    return FactorGraph([prior, between]), Values({"se3": jnp.asarray(poses)})
+    return (FactorGraph([prior] + ([between] if len(eij) else [])),
+            Values({"se3": jnp.asarray(poses)}))
+
+
+def _batch_info(b, k, d):
+    """Information matrix of factor k in batch b (any noise kind)."""
+    if b.noise.kind == "unit" or b.noise.data is None:
+        return np.eye(d)
+    S = np.asarray(b.noise.data)
+    Sk = S if S.ndim == (1 if b.noise.kind == "diag" else 2) else S[k]
+    if b.noise.kind == "diag":
+        return np.diag(np.asarray(Sk) ** 2)
+    return Sk.T @ Sk
 
 
 def write_g2o_2d(path, values: Values, graph: FactorGraph = None):
-    """writeG2o analogue (2D)."""
+    """writeG2o analogue (2D) (reference: slam/dataset.cpp writeG2o)."""
     poses = np.asarray(values["se2"])
     with open(path, "w") as f:
         for i, (x, y, th) in enumerate(poses):
@@ -317,10 +333,88 @@ def write_g2o_2d(path, values: Values, graph: FactorGraph = None):
                     continue
                 ij = np.asarray(b.idx)
                 m = np.asarray(b.meas["measured"])
-                S = np.asarray(b.noise.data)
                 for k in range(ij.shape[0]):
-                    info = S[k].T @ S[k]
+                    info = _batch_info(b, k, 3)
                     iu = info[np.triu_indices(3)]
                     f.write(f"EDGE_SE2 {ij[k,0]} {ij[k,1]} "
                             + " ".join(map(str, m[k])) + " "
                             + " ".join(map(str, iu)) + "\n")
+
+
+def matrix_to_quat(R):
+    """Rotation matrix -> (qx, qy, qz, qw), Shepperd's method (host-side)."""
+    R = np.asarray(R, dtype=np.float64)
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        qw = 0.25 * s
+        qx = (R[2, 1] - R[1, 2]) / s
+        qy = (R[0, 2] - R[2, 0]) / s
+        qz = (R[1, 0] - R[0, 1]) / s
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(R[i, i] - R[j, j] - R[k, k] + 1.0) * 2
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[3] = (R[k, j] - R[j, k]) / s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        qx, qy, qz, qw = q
+    return qx, qy, qz, qw
+
+
+def matrix_to_ypr(R):
+    """Rotation matrix -> (roll, pitch, yaw) matching ypr_to_matrix."""
+    R = np.asarray(R, dtype=np.float64)
+    pitch = -np.arcsin(np.clip(R[2, 0], -1.0, 1.0))
+    roll = np.arctan2(R[2, 1], R[2, 2])
+    yaw = np.arctan2(R[1, 0], R[0, 0])
+    return roll, pitch, yaw
+
+
+def write_g2o_3d(path, values: Values, graph: FactorGraph = None,
+                 fmt: str = "quat"):
+    """3D writeG2o analogue. fmt='quat' emits VERTEX_SE3:QUAT/EDGE_SE3:QUAT
+    with the information matrix permuted to g2o (t,R) block order (reference:
+    slam/dataset.cpp writeG2o, the inverse of the read-side swap at
+    dataset.cpp:850-856); fmt='edge3' emits VERTEX3/EDGE3 with
+    (x y z roll pitch yaw) and info in GTSAM (R,t) order as-is, matching
+    this module's EDGE3 reader and the reference's load3D."""
+    poses = np.asarray(values["se3"])  # [N, 3, 4]
+    iu6 = np.triu_indices(6)
+    with open(path, "w") as f:
+        for i, T in enumerate(poses):
+            x, y, z = T[:, 3]
+            if fmt == "quat":
+                qx, qy, qz, qw = matrix_to_quat(T[:, :3])
+                f.write(f"VERTEX_SE3:QUAT {i} {x} {y} {z} {qx} {qy} {qz} {qw}\n")
+            else:
+                r, p, yw = matrix_to_ypr(T[:, :3])
+                f.write(f"VERTEX3 {i} {x} {y} {z} {r} {p} {yw}\n")
+        if graph is not None:
+            for b in graph.batches:
+                if b.name != "between_se3":
+                    continue
+                ij = np.asarray(b.idx)
+                m = np.asarray(b.meas["measured"])  # [K, 3, 4]
+                for k in range(ij.shape[0]):
+                    info = _batch_info(b, k, 6)  # GTSAM (R,t) tangent order
+                    T = m[k]
+                    x, y, z = T[:, 3]
+                    if fmt == "quat":
+                        # permute (R,t) -> g2o (t,R)
+                        G = np.zeros((6, 6))
+                        G[:3, :3] = info[3:, 3:]
+                        G[3:, 3:] = info[:3, :3]
+                        G[:3, 3:] = info[3:, :3]
+                        G[3:, :3] = info[:3, 3:]
+                        qx, qy, qz, qw = matrix_to_quat(T[:, :3])
+                        f.write(f"EDGE_SE3:QUAT {ij[k,0]} {ij[k,1]} "
+                                f"{x} {y} {z} {qx} {qy} {qz} {qw} "
+                                + " ".join(map(str, G[iu6])) + "\n")
+                    else:
+                        r, p, yw = matrix_to_ypr(T[:, :3])
+                        f.write(f"EDGE3 {ij[k,0]} {ij[k,1]} "
+                                f"{x} {y} {z} {r} {p} {yw} "
+                                + " ".join(map(str, info[iu6])) + "\n")

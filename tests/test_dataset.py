@@ -82,3 +82,46 @@ def test_victoria_park_loads():
     assert "point2" in initial.blocks
     assert initial["point2"].shape[0] > 100
     assert np.isfinite(float(optimizers.graph_error(graph, initial)))
+
+
+def test_write_g2o_3d_roundtrip(tmp_path):
+    """write_g2o_3d (both EDGE_SE3:QUAT and EDGE3 formats) round-trips
+    through load_3d: poses, measurements, and information matrices survive
+    (reference: writeG2o/readG2o parity, slam/dataset.cpp)."""
+    import jax.numpy as jnp
+    from gtsam_personal_tpu.core.values import Values
+
+    graph, initial = dataset.load_3d(dataset.find_example_data("sphere2500.txt"))
+    # small slice: first 20 poses' subgraph
+    import numpy as np
+    between = [b for b in graph.batches if b.name == "between_se3"][0]
+    ij = np.asarray(between.idx)
+    keep = (ij < 20).all(axis=1)
+    sub = Values({"se3": initial["se3"][:20]})
+    from gtsam_personal_tpu.core.graph import FactorBatch, FactorGraph
+    from gtsam_personal_tpu.linear.noise import NoiseModel
+    bsub = FactorBatch(between.name, between.residual_fn, between.groups, 6,
+                       jnp.asarray(ij[keep]),
+                       {"measured": between.meas["measured"][np.where(keep)[0]]},
+                       NoiseModel(between.noise.kind,
+                                  between.noise.data[np.where(keep)[0]]
+                                  if between.noise.data is not None
+                                  and np.asarray(between.noise.data).ndim > 2
+                                  else between.noise.data))
+    gsub = FactorGraph([bsub])
+
+    for fmt in ("quat", "edge3"):
+        path = str(tmp_path / f"rt_{fmt}.g2o")
+        dataset.write_g2o_3d(path, sub, gsub, fmt=fmt)
+        g2, v2 = dataset.load_3d(path)
+        np.testing.assert_allclose(np.asarray(v2["se3"]), np.asarray(sub["se3"]),
+                                   atol=1e-9)
+        b2 = [b for b in g2.batches if b.name == "between_se3"][0]
+        np.testing.assert_array_equal(np.asarray(b2.idx), ij[keep])
+        np.testing.assert_allclose(np.asarray(b2.meas["measured"]),
+                                   np.asarray(bsub.meas["measured"]), atol=1e-9)
+        # information matrices match (modulo noise-kind representation)
+        for k in range(int(keep.sum())):
+            i1 = dataset._batch_info(bsub, k, 6)
+            i2 = dataset._batch_info(b2, k, 6)
+            np.testing.assert_allclose(i2, i1, atol=1e-6, rtol=1e-6)
