@@ -42,6 +42,29 @@ from gtsam_personal_tpu.inference.partition import Partition, partition_graph
 from gtsam_personal_tpu.linear.linearize import GaussianGraph
 
 
+def _pack_to_device(leaves):
+    """Transfer many host arrays to the device as ONE buffer per dtype.
+
+    The axon TPU tunnel has multi-second per-transfer latency; shipping a
+    plan's ~30 index arrays individually cost minutes (measured 270s on
+    city10000). One packed transfer + eager device-side slices is ~100x
+    faster end-to-end."""
+    from collections import defaultdict
+    out = [None] * len(leaves)
+    groups = defaultdict(list)
+    for i, a in enumerate(leaves):
+        groups[np.dtype(a.dtype).str].append(i)
+    for ds, idxs in groups.items():
+        flats = [np.ravel(leaves[i]) for i in idxs]
+        buf = jnp.asarray(np.concatenate(flats) if flats
+                          else np.zeros(0, dtype=ds))
+        off = 0
+        for i, f in zip(idxs, flats):
+            out[i] = buf[off:off + f.size].reshape(leaves[i].shape)
+            off += f.size
+    return out
+
+
 class SchurPlan:
     """Static elimination plan for one graph structure + partition."""
 
@@ -113,7 +136,7 @@ class SchurPlan:
             for v, lo in lsep_off[k].items():
                 d = vi.dims[v]
                 l2g[k, lo:lo + d] = sep_off[v] + np.arange(d)
-        self.l2g = jnp.asarray(l2g)
+        self.l2g = l2g  # packed to device at the end of __init__
 
         # ---- per-batch device index arrays ----
         # For each batch: front subset (sel indices, front id, per-slot col start)
@@ -136,12 +159,80 @@ class SchurPlan:
                     else:
                         col[krow, s] = sep_off[v]
             self.batch_plans.append({
-                "front_sel": jnp.asarray(front_rows, dtype=jnp.int32),
-                "front_id": jnp.asarray(fpart[front_rows], dtype=jnp.int32),
-                "front_col": jnp.asarray(col[front_rows], dtype=jnp.int32),
-                "sep_sel": jnp.asarray(sep_rows, dtype=jnp.int32),
-                "sep_col": jnp.asarray(col[sep_rows], dtype=jnp.int32),
+                "front_sel": np.asarray(front_rows, dtype=np.int32),
+                "front_id": np.asarray(fpart[front_rows], dtype=np.int32),
+                "front_col": np.asarray(col[front_rows], dtype=np.int32),
+                "sep_sel": np.asarray(sep_rows, dtype=np.int32),
+                "sep_col": np.asarray(col[sep_rows], dtype=np.int32),
             })
+
+        # ---- single-flat-scatter assembly plan ----
+        # TPU scatters cost ~12ns/element with large per-CALL overhead
+        # (PERFORMANCE.md "scatter economics"); assembling the whole graph
+        # with ONE flat element scatter per destination array beats the
+        # 4*S^2-call structure above by ~3x. Host precomputes, for the fixed
+        # device-side iteration order (batches -> slot pairs -> k,i,j), the
+        # flat target of every Hessian-block / rhs element.
+        m = self.m
+        Sfw = self.S_dim + 1  # separator frame width (row/col S = padding trash)
+        fronts_idx, rhs_idx, ssys_idx, srhs_idx = [], [], [], []
+        for (vids, parts_s, fpart), bmeta in zip(batch_meta, graph.batches):
+            K, nslots = vids.shape
+            dims = [manifolds.get(g).dim for g in bmeta.groups]
+            front_rows = np.where(fpart >= 0)[0]
+            sep_rows = np.where(fpart < 0)[0]
+            col = np.zeros((K, nslots), dtype=np.int64)
+            for krow in range(K):
+                kp = fpart[krow]
+                for s in range(nslots):
+                    v = vids[krow, s]
+                    if kp >= 0:
+                        col[krow, s] = (int_off[v] if parts_s[krow, s] >= 0
+                                        else self.D_max + lsep_off[kp][v])
+                    else:
+                        col[krow, s] = sep_off[v]
+            for s in range(nslots):
+                rows_f = col[front_rows, s, None] + np.arange(dims[s])[None, :]
+                rhs_idx.append((fpart[front_rows, None] * m + rows_f).ravel())
+                rows_s = col[sep_rows, s, None] + np.arange(dims[s])[None, :]
+                srhs_idx.append(rows_s.ravel())
+                for t in range(nslots):
+                    cols_f = col[front_rows, t, None] + np.arange(dims[t])[None, :]
+                    blk_f = (fpart[front_rows, None, None] * (m * m)
+                             + rows_f[:, :, None] * m + cols_f[:, None, :])
+                    fronts_idx.append(blk_f.ravel())
+                    cols_s = col[sep_rows, t, None] + np.arange(dims[t])[None, :]
+                    ssys_idx.append((rows_s[:, :, None] * Sfw
+                                     + cols_s[:, None, :]).ravel())
+        cat = lambda xs: (np.concatenate(xs) if xs
+                          else np.zeros(0, np.int64)).astype(np.int32)
+        self.asm = {"fronts": cat(fronts_idx), "rhs": cat(rhs_idx),
+                    "ssys": cat(ssys_idx), "srhs": cat(srhs_idx)}
+
+        # ---- live-size-bucketed extend-add plan ----
+        # Padded [p, sd_max^2] extend-add scatters 9.9M elements on city10000
+        # where only ~1.8M are live; bucket parts by live local-separator size
+        # (8 quantile buckets) and scatter only each bucket's [pb, sdb, sdb]
+        # slab. Dead in-bucket entries carry zero values and target the padding
+        # row/col S (harmless adds of 0).
+        order = np.argsort(-sd)
+        nbuckets = min(8, p) if p else 0
+        self.ea_buckets = []
+        if p:
+            bounds = np.linspace(0, p, nbuckets + 1).astype(int)
+            for bi in range(nbuckets):
+                ids = order[bounds[bi]:bounds[bi + 1]]
+                if ids.size == 0:
+                    continue
+                sdb = int(max(int(sd[ids].max()), 1))
+                l2g_b = l2g[ids][:, :sdb]  # [pb, sdb], dead -> S_dim
+                tgt = (l2g_b[:, :, None] * Sfw + l2g_b[:, None, :]).ravel()
+                self.ea_buckets.append({
+                    "ids": np.asarray(ids, dtype=np.int32),
+                    "sdb": sdb,
+                    "tgt": np.asarray(tgt, dtype=np.int32),
+                    "tgt_rhs": np.asarray(l2g_b.ravel(), dtype=np.int32),
+                })
 
         # ---- solution scatter maps: tangent dict <- (front rows | sep rows) ----
         # For each group g, for each variable: either (part, row) or sep flat pos.
@@ -162,10 +253,37 @@ class SchurPlan:
                     in_sep[i] = True
                     sep_pos[i] = sep_off[v]
             self.sol_maps[g] = {
-                "part": jnp.asarray(src_part), "row": jnp.asarray(src_row),
-                "in_sep": jnp.asarray(in_sep), "sep_pos": jnp.asarray(sep_pos),
+                "part": src_part, "row": src_row,
+                "in_sep": in_sep, "sep_pos": sep_pos,
                 "dim": d,
             }
+
+        # ---- one packed host->device transfer for every index array ----
+        self._to_device()
+
+    def _to_device(self):
+        leaves, setters = [], []
+
+        def reg(container, key):
+            leaves.append(np.asarray(container[key]))
+            setters.append((container, key))
+
+        d = self.__dict__
+        reg(d, "l2g")
+        for bp in self.batch_plans:
+            for k in ("front_sel", "front_id", "front_col", "sep_sel", "sep_col"):
+                reg(bp, k)
+        for k in ("fronts", "rhs", "ssys", "srhs"):
+            reg(self.asm, k)
+        for eb in self.ea_buckets:
+            for k in ("ids", "tgt", "tgt_rhs"):
+                reg(eb, k)
+        for smap in self.sol_maps.values():
+            for k in ("part", "row", "in_sep", "sep_pos"):
+                reg(smap, k)
+        packed = _pack_to_device(leaves)
+        for (container, key), arr in zip(setters, packed):
+            container[key] = arr
 
     def stats(self):
         return {"p": self.p, "D_max": self.D_max, "sd_max": self.sd_max,
@@ -185,41 +303,32 @@ def solve_partitioned(lin: GaussianGraph, plan: SchurPlan, lam=0.0):
     dtype = lin.batches[0].r.dtype
     p, m, Dm, sdm, S = plan.p, plan.m, plan.D_max, plan.sd_max, plan.S_dim
 
-    fronts = jnp.zeros((p, m, m), dtype=dtype)
-    rhs = jnp.zeros((p, m), dtype=dtype)
-    Ssys = jnp.zeros((S + 1, S + 1), dtype=dtype)
-    srhs = jnp.zeros((S + 1,), dtype=dtype)
-
+    # ---- assembly: one flat element scatter per destination array ----
+    # (TPU scatter economics: per-call overhead dominates many small scatters;
+    # see SchurPlan "single-flat-scatter assembly plan")
+    fvals, rvals, svals, srvals = [], [], [], []
     for b, bp in zip(lin.batches, plan.batch_plans):
         nslots = len(b.groups)
-        dims = [J.shape[-1] for J in b.Js]
-        # front subset
-        if bp["front_sel"].shape[0]:
-            sel = bp["front_sel"]
-            fid = bp["front_id"]
-            Jsel = [b.Js[s][sel] for s in range(nslots)]
-            rsel = b.r[sel]
-            for s in range(nslots):
-                rows = bp["front_col"][:, s, None] + jnp.arange(dims[s])[None, :]
-                rhs = rhs.at[fid[:, None], rows].add(
-                    -_einsum_hp("kij,ki->kj", Jsel[s], rsel))
-                for t in range(nslots):
-                    cols = bp["front_col"][:, t, None] + jnp.arange(dims[t])[None, :]
-                    blk = _einsum_hp("kij,kil->kjl", Jsel[s], Jsel[t])
-                    fronts = fronts.at[fid[:, None, None],
-                                       rows[:, :, None], cols[:, None, :]].add(blk)
-        # separator-only subset
-        if bp["sep_sel"].shape[0]:
-            sel = bp["sep_sel"]
-            Jsel = [b.Js[s][sel] for s in range(nslots)]
-            rsel = b.r[sel]
-            for s in range(nslots):
-                rows = bp["sep_col"][:, s, None] + jnp.arange(dims[s])[None, :]
-                srhs = srhs.at[rows].add(-_einsum_hp("kij,ki->kj", Jsel[s], rsel))
-                for t in range(nslots):
-                    cols = bp["sep_col"][:, t, None] + jnp.arange(dims[t])[None, :]
-                    blk = _einsum_hp("kij,kil->kjl", Jsel[s], Jsel[t])
-                    Ssys = Ssys.at[rows[:, :, None], cols[:, None, :]].add(blk)
+        fsel, ssel = bp["front_sel"], bp["sep_sel"]
+        Jf = [b.Js[s][fsel] for s in range(nslots)]
+        Js_ = [b.Js[s][ssel] for s in range(nslots)]
+        rf, rs = b.r[fsel], b.r[ssel]
+        for s in range(nslots):
+            rvals.append(-_einsum_hp("kij,ki->kj", Jf[s], rf).ravel())
+            srvals.append(-_einsum_hp("kij,ki->kj", Js_[s], rs).ravel())
+            for t in range(nslots):
+                fvals.append(_einsum_hp("kij,kil->kjl", Jf[s], Jf[t]).ravel())
+                svals.append(_einsum_hp("kij,kil->kjl", Js_[s], Js_[t]).ravel())
+    cat = lambda xs: (jnp.concatenate(xs) if xs
+                      else jnp.zeros((0,), dtype=dtype))
+    Sfw = S + 1
+    fronts = jnp.zeros((p * m * m,), dtype=dtype).at[plan.asm["fronts"]].add(
+        cat(fvals)).reshape(p, m, m)
+    rhs = jnp.zeros((p * m,), dtype=dtype).at[plan.asm["rhs"]].add(
+        cat(rvals)).reshape(p, m)
+    Ssys_flat = jnp.zeros((Sfw * Sfw,), dtype=dtype).at[plan.asm["ssys"]].add(
+        cat(svals))
+    srhs = jnp.zeros((Sfw,), dtype=dtype).at[plan.asm["srhs"]].add(cat(srvals))
 
     # ---- batched interior elimination ----
     A = fronts[:, :Dm, :Dm]
@@ -240,15 +349,19 @@ def solve_partitioned(lin: GaussianGraph, plan: SchurPlan, lam=0.0):
         y = solve_A(chol, g_int[..., None])[..., 0]  # A^{-1} g
         Schur = C - _einsum_hp("pij,pik->pjk", B, W)
         rhs_s = g_sep - _einsum_hp("pij,pi->pj", B, y)
-        # extend-add into global separator system
-        l2g = plan.l2g
-        Ssys = Ssys.at[l2g[:, :, None], l2g[:, None, :]].add(Schur)
-        srhs = srhs.at[l2g].add(rhs_s)
+        # extend-add: live-size-bucketed flat scatters (dead entries are
+        # exact zeros and land on the padding row/col S)
+        for eb in plan.ea_buckets:
+            sdb = eb["sdb"]
+            Sb = Schur[eb["ids"]][:, :sdb, :sdb]
+            Ssys_flat = Ssys_flat.at[eb["tgt"]].add(Sb.ravel())
+            srhs = srhs.at[eb["tgt_rhs"]].add(rhs_s[eb["ids"]][:, :sdb].ravel())
     else:
         y = solve_A(chol, g_int[..., None])[..., 0]
 
     # ---- reduced separator solve ----
     if S > 0:
+        Ssys = Ssys_flat.reshape(Sfw, Sfw)
         Sred = Ssys[:S, :S] + lam * jnp.eye(S, dtype=dtype)
         dsep = jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(Sred, lower=True), srhs[:S])

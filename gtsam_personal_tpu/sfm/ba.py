@@ -107,6 +107,58 @@ def ba_error(state: BAState, obs: BAObservations, mask_cheirality=True):
     return 0.5 * jnp.sum(r * r)
 
 
+def _gather_fm(state: BAState, obs: BAObservations):
+    """Feature-major gathers: [small, M] arrays whose trailing dim is the big
+    observation axis, so TPU (8,128) tiling pads at most 2-3x. The batch-major
+    [M,3,4] / [M,18] layouts of the functions above pad up to ~85x (the
+    measured tile-padding tax: ba_error dropped 22.4ms -> ~2ms at
+    Ladybug-1723 scale after this change; tools/profile_ba_fm.py)."""
+    posesT = state.cam_poses.transpose(1, 2, 0)[:, :, obs.cam]   # [3,4,M]
+    calsT = state.cam_cals.T[:, obs.cam]                          # [3,M]
+    ptsT = state.points.T[:, obs.point]                           # [3,M]
+    return posesT, calsT, ptsT, obs.uv.T
+
+
+def ba_error_fm(state: BAState, obs: BAObservations, mask_cheirality=True):
+    """Feature-major total reprojection error (same value as ba_error)."""
+    dtype = state.points.dtype
+    posesT, calsT, ptsT, uvT = _gather_fm(state, obs)
+    r = jax.vmap(_residual_one, in_axes=(-1, -1, -1, -1), out_axes=-1)(
+        posesT, calsT, ptsT, uvT)
+    if mask_cheirality:
+        depth = jax.vmap(cam_geo.depth_of, in_axes=(-1, -1), out_axes=-1)(
+            posesT, ptsT)
+        r = r * (depth > 1e-6).astype(dtype)[None, :]
+    return 0.5 * jnp.sum(r * r)
+
+
+def linearize_ba_fm(state: BAState, obs: BAObservations, mask_cheirality=True):
+    """Feature-major batched linearization: rT [2,M], JcT [18,M], JpT [6,M].
+
+    Same math as linearize_ba (vmapped jacfwd through the SE(3) retraction +
+    Cal3Bundler projection), with the observation axis kept last end-to-end."""
+    dtype = state.points.dtype
+    posesT, calsT, ptsT, uvT = _gather_fm(state, obs)
+    zeros = (jnp.zeros(9, dtype=dtype), jnp.zeros(3, dtype=dtype))
+
+    def one(pose, cal, point, uv):
+        r = _residual_local(zeros, pose, cal, point, uv)
+        Jc, Jp = jax.jacfwd(_residual_local, argnums=0)(zeros, pose, cal,
+                                                        point, uv)
+        return r, Jc.reshape(18), Jp.reshape(6)
+
+    r, Jc, Jp = jax.vmap(one, in_axes=(-1, -1, -1, -1), out_axes=-1)(
+        posesT, calsT, ptsT, uvT)
+    if mask_cheirality:
+        depth = jax.vmap(cam_geo.depth_of, in_axes=(-1, -1), out_axes=-1)(
+            posesT, ptsT)
+        w = (depth > 1e-6).astype(dtype)[None, :]
+        r = r * w
+        Jc = Jc * w
+        Jp = Jp * w
+    return r, Jc, Jp
+
+
 def _segsum(x, ids, n):
     return jax.ops.segment_sum(x, ids, num_segments=n)
 
@@ -219,13 +271,13 @@ def solve_ba_step_fm(state: BAState, obs: BAObservations, layout, lam,
     gc/x [9, C], gp/u [3, P]."""
     C, P, Q, T = layout.C, layout.P, layout.Q, layout.T
     dtype = state.points.dtype
-    r, Jc, Jp = linearize_ba(state, obs)
+    rT0, JcT0, JpT0 = linearize_ba_fm(state, obs)       # [2,M], [18,M], [6,M]
 
-    zrow = lambda x: jnp.concatenate(
-        [x, jnp.zeros((1,) + x.shape[1:], dtype=x.dtype)], axis=0)
-    JcT = zrow(Jc).T                                    # [18, M+1]
-    JpT = zrow(Jp).T                                    # [6, M+1]
-    rT = zrow(r).T                                      # [2, M+1]
+    zcol = lambda x: jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (1,), dtype=x.dtype)], axis=-1)
+    JcT = zcol(JcT0)                                    # [18, M+1]
+    JpT = zcol(JpT0)                                    # [6, M+1]
+    rT = zcol(rT0)                                      # [2, M+1]
 
     Jc4 = JcT[:, layout.g_cam].reshape(2, 9, C, Q)
     r_cm = rT[:, layout.g_cam].reshape(2, C, Q)
@@ -282,20 +334,19 @@ def solve_ba_step_fm(state: BAState, obs: BAObservations, layout, lam,
         y = cam_reduce(a - bc)
         return y + lam * x
 
-    # block-Jacobi preconditioner (one-time per step; obs-flat form)
+    # block-Jacobi preconditioner (one-time per step; feature-major form:
+    # W = Jc^T Jp per obs as [27, M] planes, G = W Hpp^-1 W^T as [81, M])
     Hcc = jnp.stack([
         sum(jnp.sum(Jc4[i, j] * Jc4[i, k], axis=-1) for i in range(2))
         for j in range(9) for k in range(9)]).T.reshape(C, 9, 9)
-    W = bk.atb(Jc, Jp, 2, 9, 3)                         # [M, 27]
-    Hi = HppInv.T[obs.point]                            # [M, 9]
-    T1 = jnp.stack([
-        sum(W[:, i * 3 + j] * Hi[:, j * 3 + k] for j in range(3))
-        for i in range(9) for k in range(3)
-    ], axis=1)
+    Wt = [sum(JcT0[9 * i + a] * JpT0[3 * i + b] for i in range(2))
+          for a in range(9) for b in range(3)]          # [27] of [M]
+    Hi = HppInv[:, obs.point]                           # [9, M]
+    T1 = [sum(Wt[3 * a + b] * Hi[3 * b + c] for b in range(3))
+          for a in range(9) for c in range(3)]          # [27] of [M]
     G = jnp.stack([
-        sum(T1[:, i * 3 + k] * W[:, l * 3 + k] for k in range(3))
-        for i in range(9) for l in range(9)
-    ], axis=1)
+        sum(T1[3 * a + c] * Wt[3 * d + c] for c in range(3))
+        for a in range(9) for d in range(9)], axis=-1)  # [M, 81]
     Gc = _segsum(G, obs.cam, C).reshape(C, 9, 9)
     eye9 = jnp.eye(9, dtype=dtype)
     Ls = jnp.linalg.cholesky(Hcc - Gc + (lam + 1e-8) * eye9)
@@ -333,6 +384,180 @@ def solve_ba_step_fm(state: BAState, obs: BAObservations, layout, lam,
     return xc.T, xp.T
 
 
+def linearize_ba_cm(state: BAState, obs: BAObservations, layout):
+    """Cam-major batched linearization: r [2,C,Q], Jc [2,9,C,Q], Jp [2,3,C,Q].
+
+    The observation-major paths gather 12 pose/cal floats per observation
+    (~10M gathered elements at Ladybug scale — the measured cost of
+    linearize_ba); in cam-major layout the camera quantities BROADCAST over
+    each camera's Q slots and only the 3 point coordinates are gathered
+    (pt_of_cm). Outputs land directly in the layout the Schur-CG solver
+    consumes — no g_cam relayout pass. Dead slots carry zero (cam_mask)."""
+    C, P, Q = layout.C, layout.P, layout.Q
+    dtype = state.points.dtype
+    posesT = state.cam_poses.transpose(1, 2, 0)          # [3,4,C]
+    calsT = state.cam_cals.T                             # [3,C]
+    pts_pad = jnp.concatenate([state.points.T,
+                               jnp.zeros((3, 1), dtype=dtype)], axis=1)
+    pts_cm = pts_pad[:, layout.pt_of_cm].reshape(3, C, Q)
+    uv_pad = jnp.concatenate([obs.uv.T, jnp.zeros((2, 1), dtype=dtype)], axis=1)
+    uv_cm = uv_pad[:, layout.g_cam].reshape(2, C, Q)
+    zeros = (jnp.zeros(9, dtype=dtype), jnp.zeros(3, dtype=dtype))
+
+    def one(pose, cal, point, uv):
+        r = _residual_local(zeros, pose, cal, point, uv)
+        Jc, Jp = jax.jacfwd(_residual_local, argnums=0)(zeros, pose, cal,
+                                                        point, uv)
+        depth = cam_geo.depth_of(pose, point)
+        return r, Jc, Jp, depth
+
+    inner = jax.vmap(one, in_axes=(None, None, 1, 1), out_axes=(-1, -1, -1, -1))
+    outer = jax.vmap(inner, in_axes=(-1, -1, 1, 1), out_axes=(1, 2, 2, 0))
+    r, Jc, Jp, depth = outer(posesT, calsT, pts_cm, uv_cm)
+    w = (depth > 1e-6).astype(dtype) * layout.cam_mask.reshape(C, Q)
+    return r * w, Jc * w, Jp * w
+
+
+def solve_ba_step_cm(state: BAState, obs: BAObservations, layout, lam,
+                     cg_maxiter=100, cg_tol=1e-6):
+    """Cam-major-native Schur-PCG step: linearization lands directly in the
+    [·,·,C,Q] solver layout (linearize_ba_cm), the point side is ONE fixed
+    permutation away, and the block-Jacobi preconditioner's per-camera
+    reduction is a dense sum over Q (no segment_sum). Same math as
+    solve_ba_step / solve_ba_step_fm."""
+    C, P, Q, T = layout.C, layout.P, layout.Q, layout.T
+    dtype = state.points.dtype
+    r_cm, Jc4, Jp_cm = linearize_ba_cm(state, obs, layout)
+
+    def cam_to_point(x_cq):                             # [k, C, Q] -> [k, T, P]
+        k = x_cq.shape[0]
+        flat = jnp.concatenate([x_cq.reshape(k, C * Q),
+                                jnp.zeros((k, 1), dtype=dtype)], axis=1)
+        return flat[:, layout.p2c_tp]
+
+    def point_to_cam(x_tp):                             # [k, T, P] -> [k, C, Q]
+        k = x_tp.shape[0]
+        flat = jnp.concatenate([x_tp.reshape(k, T * P),
+                                jnp.zeros((k, 1), dtype=dtype)], axis=1)
+        return flat[:, layout.c2p_tp].reshape(k, C, Q)
+
+    # point-major copies of the point-side quantities (one fixed permutation)
+    pm = cam_to_point(jnp.concatenate([Jp_cm.reshape(6, C, Q), r_cm], axis=0))
+    Jp4 = pm[:6].reshape(2, 3, T, P)
+    r_pm = pm[6:]                                       # [2, T, P]
+
+    def cam_apply(x):                                   # [9,C] -> a [2,C,Q]
+        return jnp.stack([
+            sum(Jc4[i, j] * x[j][:, None] for j in range(9)) for i in range(2)])
+
+    def cam_reduce(u):                                  # [2,C,Q] -> [9,C]
+        return jnp.stack([
+            sum(jnp.sum(Jc4[i, j] * u[i], axis=-1) for i in range(2))
+            for j in range(9)])
+
+    def pt_reduce(ap):                                  # [2,T,P] -> [3,P]
+        return jnp.stack([
+            sum(jnp.sum(Jp4[i, k] * ap[i], axis=0) for i in range(2))
+            for k in range(3)])
+
+    def pt_apply(u):                                    # [3,P] -> [2,T,P]
+        return jnp.stack([
+            sum(Jp4[i, k] * u[k][None, :] for k in range(3)) for i in range(2)])
+
+    Hpp = jnp.stack([
+        sum(jnp.sum(Jp4[i, k] * Jp4[i, l], axis=0) for i in range(2))
+        for k in range(3) for l in range(3)])           # [9, P]
+    Hpp = bk.add_scaled_identity_33_T(Hpp, lam + 1e-10)
+    HppInv = bk.sym33_inv_T(Hpp)                        # [9, P]
+
+    gc = cam_reduce(r_cm)                               # [9, C]
+    gp = pt_reduce(r_pm)                                # [3, P]
+
+    hp = bk.sym33_matvec_T(HppInv, gp)
+    b = -gc + cam_reduce(point_to_cam(pt_apply(hp)))    # [9, C]
+
+    def schur_matvec(x):                                # x [9, C]
+        a = cam_apply(x)                                # [2, C, Q]
+        t = pt_reduce(cam_to_point(a))                  # [3, P]
+        u = bk.sym33_matvec_T(HppInv, t)
+        bc = point_to_cam(pt_apply(u))
+        y = cam_reduce(a - bc)
+        return y + lam * x
+
+    # block-Jacobi preconditioner of S, all cam-major: the per-camera
+    # segment reduction is a dense sum over Q
+    Hcc = jnp.stack([
+        sum(jnp.sum(Jc4[i, j] * Jc4[i, k], axis=-1) for i in range(2))
+        for j in range(9) for k in range(9)]).T.reshape(C, 9, 9)
+    Wt = [sum(Jc4[i, a] * Jp_cm[i, bb] for i in range(2))
+          for a in range(9) for bb in range(3)]         # 27 x [C, Q]
+    HppInv_pad = jnp.concatenate([HppInv,
+                                  jnp.zeros((9, 1), dtype=dtype)], axis=1)
+    Hi = HppInv_pad[:, layout.pt_of_cm].reshape(9, C, Q)
+    T1 = [sum(Wt[3 * a + bb] * Hi[3 * bb + c] for bb in range(3))
+          for a in range(9) for c in range(3)]          # 27 x [C, Q]
+    Gc = jnp.stack([
+        sum(jnp.sum(T1[3 * a + c] * Wt[3 * d + c], axis=-1) for c in range(3))
+        for a in range(9) for d in range(9)]).T.reshape(C, 9, 9)
+    eye9 = jnp.eye(9, dtype=dtype)
+    Ls = jnp.linalg.cholesky(Hcc - Gc + (lam + 1e-8) * eye9)
+    cho_apply = jax.vmap(lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
+    precond = lambda x: cho_apply(Ls, x.T).T            # x [9, C]
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+    thr = (cg_tol ** 2) * jnp.vdot(b, b)
+
+    def cond(s):
+        k, x, rr, z, pp, rz = s
+        return jnp.logical_and(k < cg_maxiter, jnp.vdot(rr, rr) > thr)
+
+    def body(s):
+        k, x, rr, z, pp, rz = s
+        Ap = schur_matvec(pp)
+        pAp = jnp.vdot(pp, Ap)
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + alpha * pp
+        rr = rr - alpha * Ap
+        z = precond(rr)
+        rz_new = jnp.vdot(rr, z)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        pp = z + beta * pp
+        return k + 1, x, rr, z, pp, rz_new
+
+    _, xc, *_ = jax.lax.while_loop(cond, body, (0, x0, r0, z0, p0, rz0))
+
+    t = pt_reduce(cam_to_point(cam_apply(xc)))
+    xp = bk.sym33_matvec_T(HppInv, -gp - t)
+    return xc.T, xp.T
+
+
+def ba_error_cm(state: BAState, obs: BAObservations, layout):
+    """Cam-major total reprojection error (same value as ba_error)."""
+    C, P, Q = layout.C, layout.P, layout.Q
+    dtype = state.points.dtype
+    posesT = state.cam_poses.transpose(1, 2, 0)
+    calsT = state.cam_cals.T
+    pts_pad = jnp.concatenate([state.points.T,
+                               jnp.zeros((3, 1), dtype=dtype)], axis=1)
+    pts_cm = pts_pad[:, layout.pt_of_cm].reshape(3, C, Q)
+    uv_pad = jnp.concatenate([obs.uv.T, jnp.zeros((2, 1), dtype=dtype)], axis=1)
+    uv_cm = uv_pad[:, layout.g_cam].reshape(2, C, Q)
+
+    def one(pose, cal, point, uv):
+        return _residual_one(pose, cal, point, uv), cam_geo.depth_of(pose, point)
+
+    inner = jax.vmap(one, in_axes=(None, None, 1, 1), out_axes=(-1, -1))
+    outer = jax.vmap(inner, in_axes=(-1, -1, 1, 1), out_axes=(1, 0))
+    r, depth = outer(posesT, calsT, pts_cm, uv_cm)
+    w = (depth > 1e-6).astype(dtype) * layout.cam_mask.reshape(C, Q)
+    r = r * w
+    return 0.5 * jnp.sum(r * r)
+
+
 def retract_ba(state: BAState, xc, xp) -> BAState:
     new_poses = jax.vmap(se3.retract)(state.cam_poses, xc[:, :6])
     return BAState(new_poses, state.cam_cals + xc[:, 6:9], state.points + xp)
@@ -340,9 +565,9 @@ def retract_ba(state: BAState, xc, xp) -> BAState:
 
 @partial(jax.jit, static_argnames=("cg_maxiter",))
 def ba_try_step(state: BAState, obs: BAObservations, layout, lam, cg_maxiter=100):
-    xc, xp = solve_ba_step_fm(state, obs, layout, lam, cg_maxiter=cg_maxiter)
+    xc, xp = solve_ba_step_cm(state, obs, layout, lam, cg_maxiter=cg_maxiter)
     new_state = retract_ba(state, xc, xp)
-    return new_state, ba_error(new_state, obs)
+    return new_state, ba_error_cm(new_state, obs, layout)
 
 
 def make_layout(obs: BAObservations, C: int, P: int):

@@ -53,6 +53,95 @@ def make_smart_residual(track_len: int, refine_iters: int = 3):
     return residual
 
 
+def _stereo_project(pose, point, cal):
+    """Stereo projection (uL, uR, v) (reference: StereoCamera::project,
+    geometry/StereoCamera.h). cal = [fx, fy, cx, cy, baseline]."""
+    pc = se3.transform_to(pose, point)
+    z = pc[2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    uL = cal[0] * pc[0] / z_safe + cal[2]
+    uR = cal[0] * (pc[0] - cal[4]) / z_safe + cal[2]
+    v = cal[1] * pc[1] / z_safe + cal[3]
+    return jnp.stack([uL, uR, v])
+
+
+def _stereo_backproject(pose, m, cal):
+    """One stereo measurement -> world point (disparity depth)."""
+    disp = jnp.maximum(m[0] - m[1], 1e-6)
+    z = cal[0] * cal[4] / disp
+    x = z * (m[0] - cal[2]) / cal[0]
+    y = z * (m[2] - cal[3]) / cal[1]
+    return se3.transform_from(pose, jnp.stack([x, y, z]))
+
+
+def make_smart_stereo_residual(track_len: int, refine_iters: int = 3):
+    """Structureless stereo smart factor (reference:
+    gtsam_unstable/slam/SmartStereoProjectionFactor.h /
+    SmartStereoProjectionPoseFactor.h): the landmark is triangulated from the
+    track's stereo measurements (mean of disparity backprojections + embedded
+    GN refinement on the stereo reprojection) and eliminated internally;
+    autodiff through the embedded argmin gives the Schur-reduced Jacobian.
+
+    meas: uvs [T, 3] (uL, uR, v per camera), cal [5]."""
+    T = track_len
+
+    def residual(xs, meas):
+        poses = jnp.stack(xs)                    # [T, 3, 4]
+        uvs = meas["uvs"]                        # [T, 3]
+        cal = meas["cal"]                        # [5]
+        pts = jax.vmap(lambda p, m: _stereo_backproject(p, m, cal))(poses, uvs)
+        point = jnp.mean(pts, axis=0)
+
+        def gn_step(point, _):
+            def r_of(pt):
+                return (jax.vmap(lambda p, m: _stereo_project(p, pt, cal) - m)(
+                    poses, uvs)).reshape(-1)
+            r = r_of(point)
+            J = jax.jacfwd(r_of)(point)          # [3T, 3]
+            H = J.T @ J + 1e-9 * jnp.eye(3, dtype=point.dtype)
+            point = point - jnp.linalg.solve(H, J.T @ r)
+            return point, None
+
+        point, _ = jax.lax.scan(gn_step, point, None, length=refine_iters)
+        depths = jax.vmap(lambda p: se3.transform_to(p, point)[2])(poses)
+        ok = jnp.all(depths > 1e-3)
+        w = jnp.where(ok, 1.0, 0.0).astype(uvs.dtype)
+        r = jax.vmap(lambda p, m: _stereo_project(p, point, cal) - m)(poses, uvs)
+        return w * r.reshape(-1)
+
+    residual.__name__ = f"smart_stereo_T{T}"
+    return residual
+
+
+def build_smart_stereo_batches(tracks: Sequence[Sequence[int]],
+                               measurements: Sequence[np.ndarray],
+                               cal, sigma: float = 1.0,
+                               pose_group: str = "se3",
+                               dtype=np.float64) -> List[FactorBatch]:
+    """Group stereo tracks by length (reference:
+    SmartStereoProjectionPoseFactor usage in gtsam_unstable). cal: [5]
+    (fx, fy, cx, cy, baseline), shared across the rig."""
+    by_len: Dict[int, List[int]] = {}
+    for k, t in enumerate(tracks):
+        by_len.setdefault(len(t), []).append(k)
+    batches = []
+    cal = np.asarray(cal, dtype=dtype)
+    for T, ks in sorted(by_len.items()):
+        if T < 1:
+            continue
+        idx = np.asarray([tracks[k] for k in ks], dtype=np.int32)
+        uvs = np.asarray([measurements[k] for k in ks], dtype=dtype)
+        cals = np.tile(cal, (len(ks), 1))
+        noise = NoiseModel("diag", jnp.full((len(ks), 3 * T), 1.0 / sigma,
+                                            dtype=jnp.asarray(uvs).dtype))
+        batches.append(FactorBatch(
+            f"smart_stereo_T{T}", make_smart_stereo_residual(T),
+            tuple([pose_group] * T), 3 * T,
+            jnp.asarray(idx), {"uvs": jnp.asarray(uvs),
+                               "cal": jnp.asarray(cals)}, noise))
+    return batches
+
+
 def build_smart_batches(tracks: Sequence[Sequence[int]],
                         measurements: Sequence[np.ndarray],
                         sigma: float = 1.0, pose_group: str = "se3",

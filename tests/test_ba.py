@@ -87,3 +87,27 @@ def test_jacobians_vs_fd(dubrovnik):
         rm = ba._residual_local((jnp.asarray(-d), jnp.zeros(3)), pose, cal, pt, uv)
         fd = (np.asarray(rp) - np.asarray(rm)) / (2 * eps)
         np.testing.assert_allclose(np.asarray(Jc[m]).reshape(2, 9)[:, i], fd, atol=1e-4, rtol=1e-4)
+
+
+def test_cm_step_matches_bm(dubrovnik):
+    """The cam-major-native step (solve_ba_step_cm) must match the
+    batch-major reference step and the fm variant exactly (same math,
+    different layout)."""
+    state, obs = dubrovnik
+    layout = ba.make_layout(obs, state.cam_poses.shape[0], state.points.shape[0])
+    lam = jnp.float64(1e-3)
+    xc0, xp0 = ba.solve_ba_step(state, obs, layout, lam, cg_maxiter=300,
+                                cg_tol=1e-13)
+    xc1, xp1 = ba.solve_ba_step_cm(state, obs, layout, lam, cg_maxiter=300,
+                                   cg_tol=1e-13)
+    np.testing.assert_allclose(np.asarray(xc1), np.asarray(xc0), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(xp1), np.asarray(xp0), atol=1e-7)
+    e_bm = float(ba.ba_error(state, obs))
+    e_cm = float(ba.ba_error_cm(state, obs, layout))
+    e_fm = float(ba.ba_error_fm(state, obs))
+    np.testing.assert_allclose(e_cm, e_bm, rtol=1e-12)
+    np.testing.assert_allclose(e_fm, e_bm, rtol=1e-12)
+    r_fm, Jc_fm, Jp_fm = ba.linearize_ba_fm(state, obs)
+    r_bm, Jc_bm, Jp_bm = ba.linearize_ba(state, obs)
+    np.testing.assert_allclose(np.asarray(r_fm), np.asarray(r_bm).T, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Jc_fm), np.asarray(Jc_bm).T, atol=1e-12)

@@ -114,3 +114,58 @@ class TestSmartFactors:
                                      optimizers.Params(max_iterations=30))
         final = np.asarray(res.values["se3"])
         np.testing.assert_allclose(final[:, :, 3], poses_np[:, :, 3], atol=5e-3)
+
+
+class TestSmartStereo:
+    """SmartStereoProjectionFactor analogue (gtsam_unstable)."""
+
+    CAL = np.array([500.0, 500.0, 320.0, 240.0, 0.2])
+
+    def _rig(self):
+        poses = [se3.identity(jnp.float64),
+                 se3.make(jnp.eye(3, dtype=jnp.float64), jnp.array([0.6, 0.0, 0.0])),
+                 se3.retract(se3.identity(jnp.float64),
+                             jnp.array([0.02, -0.01, 0.03, 1.2, 0.1, 0.0]))]
+        point = np.array([0.4, -0.3, 6.0])
+        return poses, point
+
+    def test_zero_residual_at_truth(self):
+        from gtsam_personal_tpu.sfm import smart
+        poses, point = self._rig()
+        uvs = np.stack([np.asarray(smart._stereo_project(p, jnp.asarray(point),
+                                                         jnp.asarray(self.CAL)))
+                        for p in poses])
+        res = smart.make_smart_stereo_residual(3)
+        r = res(tuple(poses), {"uvs": jnp.asarray(uvs), "cal": jnp.asarray(self.CAL)})
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-8)
+
+    def test_pulls_displaced_pose(self):
+        """End-to-end: stereo smart factors + priors recover a displaced pose
+        (reference: testSmartStereoProjectionPoseFactor.cpp)."""
+        from gtsam_personal_tpu.sfm import smart
+        from gtsam_personal_tpu.core.graph import FactorGraph
+        from gtsam_personal_tpu.core.values import Values
+        from gtsam_personal_tpu.nonlinear import optimizers
+        from gtsam_personal_tpu.slam import factors as F
+        from gtsam_personal_tpu.core.graph import GraphBuilder
+        rng = np.random.default_rng(1)
+        poses, _ = self._rig()
+        points = rng.normal(0, 1.5, (12, 3)) + np.array([0.3, 0.0, 6.0])
+        tracks, meas = [], []
+        for pt in points:
+            tracks.append([0, 1, 2])
+            meas.append(np.stack([np.asarray(smart._stereo_project(
+                p, jnp.asarray(pt), jnp.asarray(self.CAL))) for p in poses]))
+        batches = smart.build_smart_stereo_batches(tracks, meas, self.CAL,
+                                                   sigma=1.0)
+        b = GraphBuilder()
+        F.add_prior(b, "se3", 0, np.asarray(poses[0]), F.diag_noise([1e-6] * 6))
+        F.add_prior(b, "se3", 1, np.asarray(poses[1]), F.diag_noise([1e-6] * 6))
+        graph = FactorGraph(b.build(dtype=jnp.float64).batches + batches)
+        init = np.stack([np.asarray(p) for p in poses])
+        init[2] = np.asarray(se3.retract(jnp.asarray(init[2]),
+                                         jnp.array([0.03, -0.02, 0.01, 0.2, -0.1, 0.15])))
+        res = optimizers.optimize_lm(graph, Values({"se3": jnp.asarray(init)}),
+                                     optimizers.Params(max_iterations=50))
+        np.testing.assert_allclose(np.asarray(res.values["se3"][2]),
+                                   np.asarray(poses[2]), atol=1e-5)
