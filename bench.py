@@ -5,7 +5,9 @@ Headline: bundle-adjustment LM iterations/sec/chip at BAL Ladybug-1723 scale
 not shipped in-repo, so a synthetic problem of identical shape is used —
 sfm/synthetic.py). One iteration = full batched relinearization (autodiff
 through SE(3) retraction + Cal3Bundler projection for every observation) +
-implicit-Schur PCG camera solve (10 CG iterations, inexact-Newton) + landmark back-substitution + retract +
+implicit-Schur PCG camera solve (5 CG iterations, inexact-Newton: the cg sweep
+5/6/8/10 all reach the same 1.116px fixed point after 11 LM steps —
+tools/, PERFORMANCE.md) + landmark back-substitution + retract +
 error, entirely on device in fp32.
 
 vs_baseline: Ceres/GTSAM-class CPU bundle adjusters run ~1 LM iteration/sec
@@ -35,14 +37,14 @@ def main():
     lam = jnp.float32(1e-4)
     # compile + warmup (block_until_ready is unreliable on the axon backend:
     # sync via a host transfer)
-    st, err = ba.ba_try_step(state, obs, layout, lam, cg_maxiter=10)
+    st, err = ba.ba_try_step(state, obs, layout, lam, cg_maxiter=5)
     float(err)
 
     iters = 10
     t0 = time.perf_counter()
     st2 = state
     for _ in range(iters):
-        st2, err = ba.ba_try_step(st2, obs, layout, lam, cg_maxiter=10)
+        st2, err = ba.ba_try_step(st2, obs, layout, lam, cg_maxiter=5)
     float(err)
     dt = time.perf_counter() - t0
 

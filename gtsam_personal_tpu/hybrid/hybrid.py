@@ -120,3 +120,80 @@ class HybridFactorGraph:
                      for k, wk in zip(order, w)}
         best = int(order[0])
         return results[best].values, assignments[best], posterior
+
+
+class HybridSmoother:
+    """Incremental hybrid inference with mixture pruning (reference:
+    hybrid/HybridSmoother.h, HybridGaussianISAM; driven exactly like the
+    Hybrid_City10000.cpp example).
+
+    Maintains at most `max_leaves` discrete hypotheses (partial assignments
+    over the mode variables seen so far), each with a warm-started continuous
+    estimate and its energy. Each `update` extends every surviving hypothesis
+    with all values of the NEW mode variables, re-optimizes the continuous
+    variables warm-started from the parent hypothesis, and prunes back to the
+    top `max_leaves` — the pruned sum-product over mixtures that
+    HybridBayesNet::prune(maxNrLeaves) performs on its decision tree."""
+
+    def __init__(self, max_leaves: int = 8,
+                 params: Optional[optimizers.Params] = None):
+        self.max_leaves = max_leaves
+        self.params = params or optimizers.Params(max_iterations=15)
+        self.graph = HybridFactorGraph()
+        # hypotheses: list of (assignment dict, Values or None, energy)
+        self.hypotheses = [({}, None, 0.0)]
+
+    def update(self, initial: Values, continuous=(), hybrids=()):
+        """Add factors (continuous FactorBatches / HybridFactors) and refresh
+        the pruned hypothesis set. `initial` supplies values for any new
+        continuous variables (full-sized Values; existing estimates win)."""
+        for b in continuous:
+            self.graph.add_continuous(b)
+        new_modes = []
+        for hf in hybrids:
+            self.graph.add_hybrid(hf)
+            new_modes.append((hf.mode_var, hf.num_modes))
+
+        mode_combos = [{}]
+        for var, n in new_modes:
+            mode_combos = [{**c, var: m} for c in mode_combos
+                           for m in range(n)]
+
+        cand = []
+        for assignment, values, _ in self.hypotheses:
+            warm = values if values is not None else initial
+            # merge: keep prior estimates, adopt initial for new variables
+            if values is not None:
+                merged = {}
+                for g in initial.groups():
+                    if g in values.groups() and values[g].shape == initial[g].shape:
+                        merged[g] = values[g]
+                    elif g in values.groups():
+                        n_old = values[g].shape[0]
+                        merged[g] = initial[g].at[:n_old].set(values[g])
+                    else:
+                        merged[g] = initial[g]
+                warm = Values(merged)
+            for combo in mode_combos:
+                a = {**assignment, **combo}
+                res = optimizers.optimize_lm(self.graph.graph_at(a), warm,
+                                             self.params)
+                e = res.error
+                for v, m in a.items():
+                    if v in self.graph.discrete_priors:
+                        p = self.graph.discrete_priors[v][m]
+                        e = e - float(np.log(max(p, 1e-300)))
+                cand.append((a, res.values, e))
+        cand.sort(key=lambda t: t[2])
+        self.hypotheses = cand[:self.max_leaves]
+        return self.hypotheses[0]
+
+    def estimate(self):
+        """(best values, best mode assignment, normalized posterior)."""
+        a, v, _ = self.hypotheses[0]
+        es = np.asarray([h[2] for h in self.hypotheses])
+        w = np.exp(-(es - es.min()))
+        w = w / w.sum()
+        posterior = {tuple(sorted(h[0].items())): float(wk)
+                     for h, wk in zip(self.hypotheses, w)}
+        return v, a, posterior

@@ -114,3 +114,93 @@ class TestHybrid:
         _, best, posterior = hg.solve(initial, prune_to=2)
         assert len(posterior) == 2
         assert best[7] == 0
+
+
+class TestHybridSmoother:
+    def test_incremental_matches_batch(self):
+        """Stream an SE(2) chain with two ambiguous loop closures through
+        HybridSmoother; the pruned incremental posterior must pick the same
+        mode assignment as batch enumerate-and-solve (reference:
+        Hybrid_City10000.cpp driving HybridSmoother)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from gtsam_personal_tpu.core.graph import GraphBuilder
+        from gtsam_personal_tpu.core.values import Values
+        from gtsam_personal_tpu.geometry import se2
+        from gtsam_personal_tpu.hybrid.hybrid import (HybridFactor,
+                                                      HybridFactorGraph,
+                                                      HybridSmoother)
+        from gtsam_personal_tpu.slam import factors as F
+
+        n = 5
+        truth = [np.zeros(3)]
+        step = np.array([1.0, 0.0, 0.0])
+        for _ in range(n - 1):
+            truth.append(np.asarray(se2.compose(
+                jnp.asarray(truth[-1]),
+                se2.retract(se2.identity(jnp.float64), jnp.asarray(step)))))
+        initial = Values({"se2": jnp.asarray(
+            np.stack(truth) + np.random.default_rng(0).normal(0, 0.05, (n, 3)))})
+
+        def between_batch(i, j, meas, sigma):
+            b = GraphBuilder()
+            F.add_between(b, "se2", i, j, meas, F.diag_noise([sigma] * 3))
+            return b.build(dtype=jnp.float64).batches[0]
+
+        def prior_batch():
+            b = GraphBuilder()
+            F.add_prior(b, "se2", 0, truth[0], F.diag_noise([1e-4] * 3))
+            return b.build(dtype=jnp.float64).batches[0]
+
+        def hybrid_closure(i, j, var):
+            good = np.asarray(se2.between(jnp.asarray(truth[i]),
+                                          jnp.asarray(truth[j])))
+            bad = good + np.array([3.0, 1.0, 0.5])
+            return HybridFactor.from_modes(
+                [between_batch(i, j, good, 0.05),
+                 between_batch(i, j, bad, 0.05)], mode_var=var) \
+                if hasattr(HybridFactor, "from_modes") else None
+
+        # build mode factors directly: one FactorBatch per mode
+        def make_hf(i, j, var):
+            good = np.asarray(se2.between(jnp.asarray(truth[i]),
+                                          jnp.asarray(truth[j])))
+            bad = good + np.array([3.0, 1.0, 0.5])
+            meas = np.stack([good, bad])
+            b = GraphBuilder()
+            F.add_between(b, "se2", i, j, good, F.diag_noise([0.05] * 3))
+            base = b.build(dtype=jnp.float64).batches[0]
+            from gtsam_personal_tpu.core.graph import FactorBatch
+            batch = FactorBatch(base.name, base.residual_fn, base.groups, 3,
+                                base.idx,
+                                {"measured": jnp.asarray(meas)[:, None]},
+                                base.noise)
+            # HybridFactor.at_mode selects meas[mode]
+            return HybridFactor(batch, mode_var=var, num_modes=2)
+
+        sm = HybridSmoother(max_leaves=3)
+        # step 1: odometry chain
+        odo = [prior_batch()] + [
+            between_batch(i, i + 1, np.asarray(se2.between(
+                jnp.asarray(truth[i]), jnp.asarray(truth[i + 1]))), 0.1)
+            for i in range(n - 1)]
+        sm.update(initial, continuous=odo)
+        # step 2: ambiguous closure 0-3 (mode 0 = inlier)
+        sm.update(initial, hybrids=[make_hf(0, 3, 100)])
+        # step 3: ambiguous closure 1-4
+        sm.update(initial, hybrids=[make_hf(1, 4, 101)])
+        v, a, post = sm.estimate()
+        assert a[100] == 0 and a[101] == 0, a
+        np.testing.assert_allclose(np.asarray(v["se2"])[:, :2],
+                                   np.stack(truth)[:, :2], atol=0.05)
+
+        # batch reference
+        hg = HybridFactorGraph()
+        for b in odo:
+            hg.add_continuous(b)
+        hg.add_hybrid(make_hf(0, 3, 100))
+        hg.add_hybrid(make_hf(1, 4, 101))
+        vb, ab, _ = hg.solve(initial)
+        assert ab == a
+        np.testing.assert_allclose(np.asarray(v["se2"]), np.asarray(vb["se2"]),
+                                   atol=1e-4)

@@ -309,3 +309,56 @@ def main4():
 
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "4":
     main4()
+
+
+def main5():
+    import jax
+    import jax.numpy as jnp
+    from gtsam_personal_tpu.sfm import ba, synthetic
+
+    print("devices:", jax.devices())
+    prob = synthetic.make_ring_problem(
+        num_cameras=1723, num_points=156000, obs_per_point=4, seed=2)
+    state, obs = ba.state_from_bal(prob)
+    obs = ba.BAObservations(obs.cam, obs.point, obs.uv.astype(jnp.float32))
+    layout = ba.make_layout(obs, state.cam_poses.shape[0], state.points.shape[0])
+    C, P, Q, T = layout.C, layout.P, layout.Q, layout.T
+    dtype = jnp.float32
+    a0 = jnp.ones((2, C, Q), dtype=dtype)
+
+    def rep10(f):
+        def g(x):
+            for _ in range(10):
+                x = f(x)
+            return x
+        return jax.jit(g)
+
+    def perm_cycle_bf16(a):
+        ab = a.astype(jnp.bfloat16)
+        flat = jnp.concatenate([ab.reshape(2, C * Q),
+                                jnp.zeros((2, 1), dtype=jnp.bfloat16)], axis=1)
+        ap = flat[:, layout.p2c_tp]
+        flat2 = jnp.concatenate([ap.reshape(2, T * P),
+                                 jnp.zeros((2, 1), dtype=jnp.bfloat16)], axis=1)
+        return flat2[:, layout.c2p_tp].reshape(2, C, Q).astype(dtype)
+
+    f = rep10(perm_cycle_bf16)
+    t = bench(lambda: f(a0), lambda o: float(o[0, 0, 0]))
+    print(f"10x bf16 perm cycle            : {t*1e3:9.1f} ms")
+
+    # int8? (just to map the cost curve)
+    def perm_cycle_i8(a):
+        ab = (a * 0 + 1).astype(jnp.int8)
+        flat = jnp.concatenate([ab.reshape(2, C * Q),
+                                jnp.zeros((2, 1), dtype=jnp.int8)], axis=1)
+        ap = flat[:, layout.p2c_tp]
+        flat2 = jnp.concatenate([ap.reshape(2, T * P),
+                                 jnp.zeros((2, 1), dtype=jnp.int8)], axis=1)
+        return flat2[:, layout.c2p_tp].reshape(2, C, Q).astype(dtype) + a * 0
+    f2 = rep10(perm_cycle_i8)
+    t = bench(lambda: f2(a0), lambda o: float(o[0, 0, 0]))
+    print(f"10x int8 perm cycle            : {t*1e3:9.1f} ms")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "5":
+    main5()
