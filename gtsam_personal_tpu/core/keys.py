@@ -104,7 +104,9 @@ class EdgeKey:
             self.i, self.j = int(i), int(j)
 
     def key(self) -> int:
-        return (self.i << 32) | self.j
+        # mask both fields to uint32 like the reference's truncation, so
+        # out-of-range i/j can never bleed across the 32-bit field boundary
+        return ((self.i & 0xFFFFFFFF) << 32) | (self.j & 0xFFFFFFFF)
 
     def __int__(self):
         return self.key()

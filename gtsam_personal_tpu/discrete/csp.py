@@ -56,6 +56,10 @@ class CSP:
         self.add_domain(v, [value])
 
     def add_binary_all_diff(self, v1: int, v2: int):
+        if self.cards[v1] != self.cards[v2]:
+            raise ValueError(
+                f"add_binary_all_diff requires equal cardinalities "
+                f"({v1}: {self.cards[v1]} vs {v2}: {self.cards[v2]})")
         t = binary_all_diff_table(self.cards[v1])
         self._binary.append((v1, v2, t))
         self.graph.add([v1, v2], t)
@@ -88,22 +92,23 @@ class CSP:
     def is_satisfied(self, assignment: Dict[int, int]) -> bool:
         return float(self.graph.evaluate(assignment)) > 0.0
 
-    def run_arc_consistency(self, max_sweeps: int = 100
-                            ) -> Dict[int, np.ndarray]:
+    def run_arc_consistency(self) -> Dict[int, np.ndarray]:
         """AC-3 domain pruning over the binary constraints; returns the
         reduced 0/1 domain mask per variable (reference:
-        CSP::runArcConsistency). Raises if a domain empties (infeasible)."""
+        CSP::runArcConsistency). Raises if a domain empties (infeasible).
+
+        AC-3 terminates on its own (each requeue strictly shrinks a domain),
+        so there is no sweep cap; the worklist is a deque for O(1) pops."""
+        from collections import deque
         dom = {v: self._unary.get(v, np.ones(c)).copy().astype(bool)
                for v, c in self.cards.items()}
         arcs = []
         for v1, v2, t in self._binary:
             arcs.append((v1, v2, t))
             arcs.append((v2, v1, t.T))
-        queue = list(arcs)
-        sweeps = 0
-        while queue and sweeps < max_sweeps * max(1, len(arcs)):
-            sweeps += 1
-            v1, v2, t = queue.pop(0)
+        queue = deque(arcs)
+        while queue:
+            v1, v2, t = queue.popleft()
             # value a of v1 is supported if exists b in dom[v2] with t[a,b]>0
             support = (t[:, dom[v2]] > 0).any(axis=1)
             new = dom[v1] & support

@@ -204,8 +204,14 @@ class SchurPlan:
                     cols_s = col[sep_rows, t, None] + np.arange(dims[t])[None, :]
                     ssys_idx.append((rows_s[:, :, None] * Sfw
                                      + cols_s[:, None, :]).ravel())
-        cat = lambda xs: (np.concatenate(xs) if xs
-                          else np.zeros(0, np.int64)).astype(np.int32)
+        def cat(xs):
+            out = np.concatenate(xs) if xs else np.zeros(0, np.int64)
+            # flat indices address p*m*m / (S+1)^2 element spaces; int32
+            # overflow would wrap silently and corrupt the assembled Hessian
+            assert out.size == 0 or out.max() < 2**31, (
+                "SchurPlan flat index exceeds int32 range "
+                f"(max {out.max()}); problem too large for int32 scatter plan")
+            return out.astype(np.int32)
         self.asm = {"fronts": cat(fronts_idx), "rhs": cat(rhs_idx),
                     "ssys": cat(ssys_idx), "srhs": cat(srhs_idx)}
 
@@ -227,6 +233,8 @@ class SchurPlan:
                 sdb = int(max(int(sd[ids].max()), 1))
                 l2g_b = l2g[ids][:, :sdb]  # [pb, sdb], dead -> S_dim
                 tgt = (l2g_b[:, :, None] * Sfw + l2g_b[:, None, :]).ravel()
+                assert tgt.size == 0 or tgt.max() < 2**31, (
+                    "extend-add flat index exceeds int32 range")
                 self.ea_buckets.append({
                     "ids": np.asarray(ids, dtype=np.int32),
                     "sdb": sdb,
