@@ -303,40 +303,47 @@ def make_plan(graph, counts, max_part_size=256) -> SchurPlan:
     return SchurPlan(graph, counts, part)
 
 
-def solve_partitioned(lin: GaussianGraph, plan: SchurPlan, lam=0.0):
+def solve_partitioned(lin, plan: SchurPlan, lam=0.0):
     """Exact (damped) normal-equations solve via two-level Schur elimination.
 
-    Damping is lam * I added on every tangent coordinate (identity damping,
-    matching LM's non-diagonal mode)."""
+    `lin` is a GaussianGraph ([K, r, d] blocks) or an fm.FMGraph
+    (feature-major [r*d, K] blocks — the TPU hot path). Damping is lam * I
+    added on every tangent coordinate (identity damping, matching LM's
+    non-diagonal mode)."""
     dtype = lin.batches[0].r.dtype
     p, m, Dm, sdm, S = plan.p, plan.m, plan.D_max, plan.sd_max, plan.S_dim
 
     # ---- assembly: one flat element scatter per destination array ----
     # (TPU scatter economics: per-call overhead dominates many small scatters;
     # see SchurPlan "single-flat-scatter assembly plan")
-    fvals, rvals, svals, srvals = [], [], [], []
-    for b, bp in zip(lin.batches, plan.batch_plans):
-        nslots = len(b.groups)
-        fsel, ssel = bp["front_sel"], bp["sep_sel"]
-        Jf = [b.Js[s][fsel] for s in range(nslots)]
-        Js_ = [b.Js[s][ssel] for s in range(nslots)]
-        rf, rs = b.r[fsel], b.r[ssel]
-        for s in range(nslots):
-            rvals.append(-_einsum_hp("kij,ki->kj", Jf[s], rf).ravel())
-            srvals.append(-_einsum_hp("kij,ki->kj", Js_[s], rs).ravel())
-            for t in range(nslots):
-                fvals.append(_einsum_hp("kij,kil->kjl", Jf[s], Jf[t]).ravel())
-                svals.append(_einsum_hp("kij,kil->kjl", Js_[s], Js_[t]).ravel())
-    cat = lambda xs: (jnp.concatenate(xs) if xs
-                      else jnp.zeros((0,), dtype=dtype))
+    from gtsam_personal_tpu.linear import fm as _fm
+    if isinstance(lin, _fm.FMGraph):
+        fcat, rcat, scat_, srcat = _fm.schur_values_fm(lin, plan)
+    else:
+        fvals, rvals, svals, srvals = [], [], [], []
+        for b, bp in zip(lin.batches, plan.batch_plans):
+            nslots = len(b.groups)
+            fsel, ssel = bp["front_sel"], bp["sep_sel"]
+            Jf = [b.Js[s][fsel] for s in range(nslots)]
+            Js_ = [b.Js[s][ssel] for s in range(nslots)]
+            rf, rs = b.r[fsel], b.r[ssel]
+            for s in range(nslots):
+                rvals.append(-_einsum_hp("kij,ki->kj", Jf[s], rf).ravel())
+                srvals.append(-_einsum_hp("kij,ki->kj", Js_[s], rs).ravel())
+                for t in range(nslots):
+                    fvals.append(_einsum_hp("kij,kil->kjl", Jf[s], Jf[t]).ravel())
+                    svals.append(_einsum_hp("kij,kil->kjl", Js_[s], Js_[t]).ravel())
+        cat = lambda xs: (jnp.concatenate(xs) if xs
+                          else jnp.zeros((0,), dtype=dtype))
+        fcat, rcat, scat_, srcat = cat(fvals), cat(rvals), cat(svals), cat(srvals)
     Sfw = S + 1
     fronts = jnp.zeros((p * m * m,), dtype=dtype).at[plan.asm["fronts"]].add(
-        cat(fvals)).reshape(p, m, m)
+        fcat).reshape(p, m, m)
     rhs = jnp.zeros((p * m,), dtype=dtype).at[plan.asm["rhs"]].add(
-        cat(rvals)).reshape(p, m)
+        rcat).reshape(p, m)
     Ssys_flat = jnp.zeros((Sfw * Sfw,), dtype=dtype).at[plan.asm["ssys"]].add(
-        cat(svals))
-    srhs = jnp.zeros((Sfw,), dtype=dtype).at[plan.asm["srhs"]].add(cat(srvals))
+        scat_)
+    srhs = jnp.zeros((Sfw,), dtype=dtype).at[plan.asm["srhs"]].add(srcat)
 
     # ---- batched interior elimination ----
     A = fronts[:, :Dm, :Dm]

@@ -84,15 +84,19 @@ def make_damped_matvec(lin: GaussianGraph, lam, diag_damping):
     return matvec
 
 
-def pcg(matvec, b, precond=None, maxiter=250, tol=1e-8):
+def pcg(matvec, b, precond=None, maxiter=250, tol=1e-8, x0=None):
     """Preconditioned CG for A x = b over tangent-dict pytrees, jit-friendly
     (lax.while_loop with iteration cap + relative-residual tolerance).
+    Pass x0 to warm-start (used by the incremental engine).
 
     Reference analogue: the templated CG loop in linear/iterative-inl.h."""
     if precond is None:
         precond = lambda r: r
-    x0 = tree_zeros_like(b)
-    r0 = b  # b - A*0
+    if x0 is None:
+        x0 = tree_zeros_like(b)
+        r0 = b  # b - A*0
+    else:
+        r0 = tree_sub(b, matvec(x0))
     z0 = precond(r0)
     p0 = z0
     rz0 = tree_vdot(r0, z0)

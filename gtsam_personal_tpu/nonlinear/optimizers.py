@@ -38,9 +38,12 @@ class Params:
     relative_error_tol: float = 1e-5
     absolute_error_tol: float = 1e-5
     error_tol: float = 0.0
-    solver: str = "dense"          # 'dense' | 'pcg'
+    solver: str = "dense"          # 'dense' | 'pcg' | 'schur'
     pcg_maxiter: int = 250
     pcg_tol: float = 1e-8
+    # feature-major linear layout ([r*d, K] blocks, linear/fm.py) — the TPU
+    # hot path for 'pcg' and 'schur' solvers; 'dense' ignores it.
+    fm: bool = False
     # LM:
     lambda_initial: float = 1e-5
     lambda_factor: float = 10.0
@@ -79,6 +82,10 @@ def check_convergence(params: Params, old_err, new_err):
 
 def _solve(lin, layout, lam, diag_damping, params: Params, plan=None):
     if params.solver == "pcg":
+        if params.fm:
+            from gtsam_personal_tpu.linear.fm import solve_pcg_fm
+            return solve_pcg_fm(lin, lam, diag_damping,
+                                maxiter=params.pcg_maxiter, tol=params.pcg_tol)
         return solvers.solve_pcg(lin, lam, diag_damping,
                                  maxiter=params.pcg_maxiter, tol=params.pcg_tol)
     if params.solver == "schur":
@@ -88,11 +95,18 @@ def _solve(lin, layout, lam, diag_damping, params: Params, plan=None):
                                layout.flatten(diag_damping) if diag_damping is not None else None)
 
 
+def _linearize(graph, values, params: Params):
+    if params.fm and params.solver in ("pcg", "schur"):
+        from gtsam_personal_tpu.linear.fm import linearize_fm
+        return linearize_fm(graph, values)
+    return linearize(graph, values)
+
+
 @partial(jax.jit, static_argnames=("params", "plan"))
 def _lm_try_step(graph: FactorGraph, values: Values, lam, params: Params, plan=None):
     """One linearize + damped solve + retract + error evaluation, jitted."""
     layout = Layout.of(values)
-    lin = linearize(graph, values)
+    lin = _linearize(graph, values, params)
     dd = lin.hessian_diagonal() if params.diagonal_damping else None
     delta = _solve(lin, layout, lam, dd, params, plan)
     new_values = values.retract(delta)
@@ -175,7 +189,7 @@ def optimize_lm_jit(graph: FactorGraph, values: Values, params: Params = Params(
 
     def try_at(values, lam):
         layout = Layout.of(values)
-        lin = linearize(graph, values)
+        lin = _linearize(graph, values, params)
         dd = lin.hessian_diagonal() if params.diagonal_damping else None
         delta = _solve(lin, layout, lam, dd, params, plan)
         nv = values.retract(delta)

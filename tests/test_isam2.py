@@ -1,0 +1,175 @@
+"""ISAM2 incremental engine (nonlinear/isam2.py).
+
+Correctness bar: streaming a whole sequence through ISAM2 must land at the
+batch LM optimum (same final error to a small tolerance), with per-update
+relinearization counts bounded by the affected set — mirroring the
+reference's tests/testGaussianISAM2.cpp expectations.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gtsam_personal_tpu.core.graph import GraphBuilder
+from gtsam_personal_tpu.geometry import se2
+from gtsam_personal_tpu.linear import noise as nz
+from gtsam_personal_tpu.nonlinear import optimizers
+from gtsam_personal_tpu.nonlinear.isam2 import ISAM2, ISAM2Params
+from gtsam_personal_tpu.slam import factors as F
+from gtsam_personal_tpu.core.values import Values
+
+
+def _make_manhattan(n=60, seed=3, closure_every=7):
+    """Synthetic 2D trajectory with odometry + long-range loop closures."""
+    rng = np.random.default_rng(seed)
+    gt = [np.zeros(3)]
+    for k in range(1, n):
+        turn = rng.choice([0.0, np.pi / 2, -np.pi / 2], p=[0.8, 0.1, 0.1])
+        step = np.array([1.0, 0.0, turn])
+        gt.append(np.asarray(se2.compose(jnp.asarray(gt[-1]), jnp.asarray(step))))
+    gt = np.stack(gt)
+    edges = []
+    for k in range(1, n):
+        meas = np.array(se2.between(jnp.asarray(gt[k - 1]), jnp.asarray(gt[k])))
+        meas += rng.normal(0, [0.05, 0.05, 0.01])
+        edges.append((k - 1, k, meas))
+    for k in range(closure_every, n, closure_every):
+        j = rng.integers(0, max(1, k - closure_every))
+        meas = np.array(se2.between(jnp.asarray(gt[j]), jnp.asarray(gt[k])))
+        meas += rng.normal(0, [0.05, 0.05, 0.01])
+        edges.append((int(j), k, meas))
+    return gt, edges
+
+
+SIGMAS = np.array([0.05, 0.05, 0.01])
+PRIOR_SIGMAS = np.array([1e-3, 1e-3, 1e-4])
+
+
+def _batch_solution(gt, edges, inits):
+    gb = GraphBuilder()
+    gb.add("prior_se2", F.make_prior_residual("se2"), ["se2"], 3, [0],
+           {"prior": np.zeros(3)}, {"kind": "diag", "data": 1.0 / PRIOR_SIGMAS})
+    rb = F.make_between_residual("se2")
+    for i, j, m in edges:
+        gb.add("between_se2", rb, ["se2", "se2"], 3, [i, j],
+               {"measured": m}, {"kind": "diag", "data": 1.0 / SIGMAS})
+    graph = gb.build()
+    values = Values({"se2": jnp.asarray(inits)})
+    res = optimizers.optimize_lm(graph, values,
+                                 optimizers.Params(max_iterations=30,
+                                                   solver="pcg",
+                                                   pcg_maxiter=400))
+    return res
+
+
+def _stream(gt, edges, params, update_every=1):
+    isam = ISAM2(params)
+    rb = F.make_between_residual("se2")
+    pr = F.make_prior_residual("se2")
+    prior_noise = nz.NoiseModel("diag", jnp.asarray(1.0 / PRIOR_SIGMAS))
+    between_noise = nz.NoiseModel("diag", jnp.asarray(1.0 / SIGMAS))
+    isam.add_variable("se2", np.zeros(3))
+    isam.add_factor("prior_se2", pr, ["se2"], 3, [0],
+                    {"prior": np.zeros(3)}, prior_noise)
+    isam.update()
+    inits = [np.zeros(3)]
+    n_added = 1
+    stats = []
+    for cnt, (i, j, m) in enumerate(edges):
+        if j == n_added:  # new pose: initialize by composing odometry
+            prev = isam.estimate_array("se2")[i] if (cnt % 10 == 0) else inits[i]
+            init = np.asarray(se2.compose(jnp.asarray(prev), jnp.asarray(m)))
+            inits.append(init)
+            isam.add_variable("se2", init)
+            n_added += 1
+        isam.add_factor("between_se2", rb, ["se2", "se2"], 3, [i, j],
+                        {"measured": m}, between_noise)
+        if cnt % update_every == 0:
+            stats.append(isam.update())
+    stats.append(isam.update(extra_cg=100))
+    return isam, np.stack(inits), stats
+
+
+def test_isam2_reaches_batch_optimum():
+    gt, edges = _make_manhattan(60)
+    params = ISAM2Params(relinearize_threshold=0.02, cg_maxiter=30,
+                         cg_tol=1e-6, relin_chunk=64)
+    isam, inits, stats = _stream(gt, edges, params)
+    batch = _batch_solution(gt, edges, inits)
+    inc_err = isam.error()
+    assert np.isfinite(inc_err)
+    # streaming must land at the batch optimum (not 4x away)
+    assert inc_err <= batch.error * 1.02 + 1e-6, (inc_err, batch.error)
+    # trajectories agree
+    est = isam.estimate_array("se2")
+    best = np.asarray(batch.values["se2"])
+    assert np.max(np.abs(est[:, :2] - best[:, :2])) < 0.05
+
+
+def test_isam2_bounded_relinearization():
+    """Away from loop closures, relinearized-row counts stay small (the
+    affected set), independent of how many factors already exist."""
+    gt, edges = _make_manhattan(120, closure_every=1000)  # pure odometry
+    params = ISAM2Params(relinearize_threshold=0.02, cg_maxiter=20,
+                         cg_tol=1e-3, relin_chunk=64)
+    isam, inits, stats = _stream(gt, edges, params)
+    relin = [s.relinearized_rows for s in stats]
+    # steady state: only the newly appended row(s) + a handful of stale ones
+    tail = relin[len(relin) // 2: -1]
+    assert np.median(tail) <= 4, relin
+    # the wildfire-analogue early exit fires (iterations < cap on most steps)
+    cg = [s.cg_iterations for s in stats]
+    assert np.median(cg[len(cg) // 2: -1]) <= 15, cg
+
+
+def test_isam2_multigroup_pose_landmark():
+    """Poses + point2 landmarks stream through the same engine (the
+    capability ISAM2 row 40 demands: multi-group incremental)."""
+    rng = np.random.default_rng(0)
+    lmk = np.array([[2.0, 1.0], [4.0, -1.0], [6.0, 2.0]])
+    n = 20
+    gt = np.stack([np.array([0.5 * k, 0.0, 0.0]) for k in range(n)])
+
+    def obs_residual(xs, meas):
+        pose, p = xs
+        # landmark in pose frame
+        c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+        dx, dy = p[0] - pose[0], p[1] - pose[1]
+        return jnp.stack([c * dx + s * dy, -s * dx + c * dy]) - meas["local"]
+
+    isam = ISAM2(ISAM2Params(relinearize_threshold=0.01, cg_maxiter=40,
+                             cg_tol=1e-8, relin_chunk=32))
+    pr = F.make_prior_residual("se2")
+    rb = F.make_between_residual("se2")
+    pn = nz.NoiseModel("diag", jnp.asarray(1.0 / PRIOR_SIGMAS))
+    bn = nz.NoiseModel("diag", jnp.asarray(1.0 / SIGMAS))
+    on = nz.NoiseModel("diag", jnp.asarray([20.0, 20.0]))
+    isam.add_variable("se2", gt[0])
+    isam.add_factor("prior_se2", pr, ["se2"], 3, [0], {"prior": gt[0]}, pn)
+    seen = set()
+    for k in range(1, n):
+        m = np.asarray(se2.between(jnp.asarray(gt[k - 1]), jnp.asarray(gt[k])))
+        m = m + rng.normal(0, [0.02, 0.02, 0.005])
+        isam.add_variable("se2", np.asarray(
+            se2.compose(jnp.asarray(gt[k - 1]), jnp.asarray(m))))
+        isam.add_factor("between_se2", rb, ["se2", "se2"], 3, [k - 1, k],
+                        {"measured": m}, bn)
+        for li, l in enumerate(lmk):
+            if abs(l[0] - 0.5 * k) < 2.0:
+                c, s = np.cos(gt[k][2]), np.sin(gt[k][2])
+                dx, dy = l[0] - gt[k][0], l[1] - gt[k][1]
+                local = np.array([c * dx + s * dy, -s * dx + c * dy])
+                local = local + rng.normal(0, 0.05, 2)
+                if li not in seen:
+                    seen.add(li)
+                    isam.add_variable("point2", l + rng.normal(0, 0.2, 2))
+                isam.add_factor("obs_se2_point2", obs_residual,
+                                ["se2", "point2"], 2, [k, li],
+                                {"local": local}, on)
+        isam.update()
+    isam.update(extra_cg=60)
+    est_l = isam.estimate_array("point2")
+    assert est_l.shape[0] == 3
+    assert np.max(np.abs(est_l - lmk)) < 0.15
+    est_p = isam.estimate_array("se2")
+    assert np.max(np.abs(est_p[:, :2] - gt[:, :2])) < 0.2
