@@ -86,6 +86,18 @@ def whiten_system_fm(noise: NoiseModel, r_fm, Js_fm, rdim: int,
     nd = _noise_fm(noise, r_fm.shape[-1])
     if noise.kind == "unit":
         rw, Jw = r_fm, tuple(Js_fm)
+    elif noise.kind == "constrained":
+        # penalty form (see noise.whiten_system): finite rows whitened,
+        # constrained rows scaled by sqrt(mu)
+        from gtsam_personal_tpu.linear.noise import _constrained_weights
+        w = _constrained_weights(nd) * jnp.where(nd > 0, 1.0,
+                                                 jnp.sqrt(noise.k))
+        rw = r_fm * w
+        Jw = []
+        for J, d in zip(Js_fm, dims):
+            scale = jnp.repeat(w, d, axis=0) if w.shape[0] == rdim else w
+            Jw.append(J * scale)
+        Jw = tuple(Jw)
     elif noise.kind == "diag":
         rw = r_fm * nd
         Jw = []

@@ -22,9 +22,16 @@ CONSTRAINED_PENALTY_WEIGHT = 1e6  # squared-info weight substituted for sigma ==
 @jax.tree_util.register_pytree_node_class
 class NoiseModel:
     """kind: 'unit' | 'diag' (data = sqrt-info diagonal [K?, r]) | 'full'
-    (data = sqrt-information matrix S with S^T S = Sigma^{-1}, [K?, r, r]).
+    (data = sqrt-information matrix S with S^T S = Sigma^{-1}, [K?, r, r]) |
+    'constrained' (data = sigmas [K?, r] where sigma == 0 marks a hard
+    constraint; `k` holds the mu penalty weight, reference default 1000 —
+    linear/NoiseModel.h:301).
 
     robust: 'none' or an m-estimator name; k is its tuning constant.
+    Semantics for 'constrained' follow the reference: whiten() passes
+    constrained rows through RAW; error() weights them by mu; whiten_system()
+    scales them by sqrt(mu) so every solver sees the penalty form — the EXACT
+    route is conditional.solve_equality_constrained (nullspace method).
     """
 
     def __init__(self, kind: str, data: Optional[jnp.ndarray] = None,
@@ -100,6 +107,23 @@ def robust(base: NoiseModel, kind: str, k) -> NoiseModel:
     return base.with_robust(kind, k)
 
 
+def constrained_sigmas(s, mu: float = 1000.0) -> NoiseModel:
+    """Mixed hard/soft model: sigma == 0 rows are hard constraints
+    (reference: Constrained::MixedSigmas, linear/NoiseModel.h:301)."""
+    return NoiseModel("constrained", jnp.asarray(s), "none", jnp.asarray(mu))
+
+
+def constrained_all(dim: int, mu: float = 1000.0) -> NoiseModel:
+    """All-rows-constrained model (reference: Constrained::All)."""
+    return constrained_sigmas(jnp.zeros(dim), mu)
+
+
+def _constrained_weights(sigmas):
+    """Finite-row whitening weights; constrained rows pass through raw."""
+    pos = sigmas > 0
+    return jnp.where(pos, 1.0 / jnp.where(pos, sigmas, 1.0), 1.0)
+
+
 # -- whitening ---------------------------------------------------------------
 
 def _broadcast(data, K):
@@ -113,6 +137,9 @@ def whiten_residual(noise: NoiseModel, r):
         return r
     if noise.kind == "diag":
         return r * noise.data
+    if noise.kind == "constrained":
+        # reference Constrained::whiten: constrained rows pass through raw
+        return r * _constrained_weights(noise.data)
     # full: S @ r, batched
     return jnp.einsum("...ij,...j->...i", noise.data, r)
 
@@ -128,6 +155,13 @@ def whiten_system(noise: NoiseModel, r, Js):
         Jw = Js
     elif noise.kind == "diag":
         Jw = tuple(J * noise.data[..., None] for J in Js)
+    elif noise.kind == "constrained":
+        # penalty form for generic solvers: constrained rows get sqrt(mu);
+        # the exact route is conditional.solve_equality_constrained
+        w = _constrained_weights(noise.data)
+        sm = jnp.where(noise.data > 0, 1.0, jnp.sqrt(noise.k))
+        rw = rw * sm
+        Jw = tuple(J * (w * sm)[..., None] for J in Js)
     else:
         Jw = tuple(jnp.einsum("...ij,...jk->...ik", noise.data, J) for J in Js)
     if noise.robust != "none":
@@ -140,8 +174,13 @@ def whiten_system(noise: NoiseModel, r, Js):
 
 def error(noise: NoiseModel, r):
     """Total error contribution: 0.5||r_w||^2, or rho(||r_w||) for robust
-    models (reference: NoiseModelFactor::error / Robust loss semantics)."""
+    models (reference: NoiseModelFactor::error / Robust loss semantics).
+    Constrained rows are weighted by mu (reference: Constrained::distance)."""
     rw = whiten_residual(noise, r)
+    if noise.kind == "constrained":
+        wmu = jnp.where(noise.data > 0, 1.0, noise.k)
+        sq = jnp.sum(wmu * rw * rw, axis=-1)
+        return 0.5 * jnp.sum(sq)
     sq = jnp.sum(rw * rw, axis=-1)
     if noise.robust == "none":
         return 0.5 * jnp.sum(sq)

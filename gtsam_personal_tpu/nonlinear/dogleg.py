@@ -22,20 +22,21 @@ from gtsam_personal_tpu.nonlinear.optimizers import Params, Result, check_conver
 
 @jax.jit
 def _gn_and_gradient(graph: FactorGraph, values: Values):
+    """Exact GN and steepest-descent anchor points via sequential elimination
+    (reference: DoglegOptimizerImpl consumes GaussianBayesNet::optimize and
+    ::optimizeGradientSearch)."""
+    from gtsam_personal_tpu.linear.conditional import eliminate_sequential
     layout = Layout.of(values)
     lin = linearize(graph, values)
-    gn = solvers.solve_dense(lin, layout)
+    bn = eliminate_sequential(lin, layout)
+    gn = bn.optimize()
+    u = bn.optimize_gradient_search()                        # Cauchy point
     grad = tree_scale(lin.gradient_at_zero(), -1.0)          # descent direction
-    Hg = lin.hessian_vector_product(grad)
-    gnorm2 = tree_vdot(grad, grad)
-    gHg = tree_vdot(grad, Hg)
-    return gn, grad, gnorm2, gHg
+    return gn, u, grad
 
 
-def _dogleg_point(delta_tr, gn, grad, gnorm2, gHg):
+def _dogleg_point(delta_tr, gn, u):
     """Blend per DoglegOptimizerImpl::Iterate: Cauchy point vs GN point."""
-    alpha = gnorm2 / jnp.maximum(gHg, 1e-30)
-    u = tree_scale(grad, alpha)                               # Cauchy point
     u_norm = tree_norm(u)
     gn_norm = tree_norm(gn)
     if gn_norm <= delta_tr:
@@ -56,10 +57,10 @@ def optimize_dogleg(graph: FactorGraph, values: Values, params: Params = Params(
     err = float(graph_error(graph, values))
     delta_tr = delta0
     for it in range(params.max_iterations):
-        gn, grad, gnorm2, gHg = _gn_and_gradient(graph, values)
+        gn, u, grad = _gn_and_gradient(graph, values)
         accepted = False
         for _ in range(10):
-            step = _dogleg_point(jnp.asarray(delta_tr), gn, grad, gnorm2, gHg)
+            step = _dogleg_point(jnp.asarray(delta_tr), gn, u)
             new_values = values.retract(step)
             new_err = float(graph_error(graph, new_values))
             # gain ratio: actual decrease vs first-order model decrease g.p

@@ -91,6 +91,16 @@ def _solve(lin, layout, lam, diag_damping, params: Params, plan=None):
     if params.solver == "schur":
         from gtsam_personal_tpu.linear.schur import solve_partitioned
         return solve_partitioned(lin, plan, lam)
+    if params.solver == "qr":
+        # dense QR route: never forms J^T J (reference: EliminateQR);
+        # identity damping only (diagonal damping needs the normal equations)
+        from gtsam_personal_tpu.linear.conditional import solve_qr
+        return solve_qr(lin, layout, lam)
+    if params.solver == "sequential":
+        # sequential elimination -> GaussianBayesNet backsubstitution
+        # (reference: eliminateSequential + GaussianBayesNet::optimize)
+        from gtsam_personal_tpu.linear.conditional import eliminate_sequential
+        return eliminate_sequential(lin, layout, lam=lam).optimize()
     return solvers.solve_dense(lin, layout, lam,
                                layout.flatten(diag_damping) if diag_damping is not None else None)
 
