@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--relin", type=float, default=0.01)
     ap.add_argument("--update-every", type=int, default=1)
     ap.add_argument("--dtype", choices=["f32", "f64"], default="f64")
+    ap.add_argument("--precond", default="chain:se2",
+                    help="'jacobi' or 'chain:se2' (SPCG odometry chain)")
     args = ap.parse_args()
 
     graph, initial = dataset.load_2d(dataset.find_example_data("city10000.g2o"))
@@ -44,6 +46,7 @@ def main():
     isam = ISAM2(ISAM2Params(relinearize_threshold=args.relin,
                              cg_maxiter=args.cg, cg_tol=args.cg_tol,
                              relin_chunk=256, dtype=dt,
+                             precond=args.precond,
                              min_var_cap=args.n + 1,
                              min_fac_cap=len(ij) + 8))
     rb = F.make_between_residual("se2")

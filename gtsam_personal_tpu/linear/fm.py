@@ -294,11 +294,13 @@ def tangent_from_fm(delta_fm: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     return {g: v.T for g, v in delta_fm.items()}
 
 
-def _block_jacobi_fm(lin: FMGraph, lam, diag_damping=None):
+def _block_jacobi_fm(lin: FMGraph, lam, diag_damping=None, blocks=None):
     """Block-Jacobi M⁻¹ from fm Hessian blocks. Blocks are inverted once per
     solve ([N, d, d] vmap-inv, small) and applied per iteration as unrolled
-    fm sym-matvecs."""
-    blocks = lin.hessian_block_diagonal()
+    fm sym-matvecs. Pass `blocks` to reuse precomputed hessian_block_diagonal
+    output."""
+    if blocks is None:
+        blocks = lin.hessian_block_diagonal()
     inv_fm = {}
     for g, Bf in blocks.items():
         d = manifolds.get(g).dim

@@ -124,8 +124,10 @@ class ISAM2Params:
     relinearize_threshold: float = 0.01
     lam: float = 1e-6               # constant GN damping (ISAM2GaussNewtonParams)
     cg_maxiter: int = 25            # iteration cap per update
-    cg_tol: float = 1e-4            # relative-residual early exit (wildfire)
+    cg_tol: float = 1e-4            # exit when ||r|| < tol * ||r at entry||
     cg_tol_abs: float = 1e-10       # absolute residual floor (converged system)
+    precond: str = "jacobi"         # 'jacobi' | 'chain:<group>' (SPCG chain)
+    precond_refresh: int = 10       # rebuild the preconditioner every K updates
     relin_chunk: int = 256          # rows re-linearized per while_loop step
     # initial capacity floors: pre-size device arrays to avoid capacity-
     # doubling recompiles when the stream length is known in advance
@@ -150,6 +152,8 @@ class ISAM2Result:
 class ISAM2:
     def __init__(self, params: ISAM2Params = ISAM2Params()):
         self.params = params
+        self._pcache = None           # preconditioner cache (device pytree)
+        self._updates_since_refresh = 0
         self._theta_host: Dict[str, np.ndarray] = {}
         self._nvar: Dict[str, int] = {}
         self._cap_n: Dict[str, int] = {}
@@ -349,12 +353,20 @@ class ISAM2:
         (one resident device program). Reference: ISAM2::update."""
         if self._rebuild:
             self._build_device_state()
+            self._pcache = None      # capacity shapes changed
         else:
             self._inject_pending()
-        st, relin_rows, cg_it = _isam2_update(
+        use_cache = (self._pcache is not None
+                     and self._updates_since_refresh
+                     < self.params.precond_refresh)
+        st, relin_rows, cg_it, self._pcache = _isam2_update(
             self._state, self.params.relinearize_threshold, self.params.lam,
             self.params.cg_maxiter + extra_cg, self.params.cg_tol,
-            self.params.cg_tol_abs, self.params.relin_chunk)
+            self.params.cg_tol_abs, self.params.relin_chunk,
+            self.params.precond,
+            self._pcache if use_cache else None, use_cache)
+        self._updates_since_refresh = (self._updates_since_refresh + 1
+                                       if use_cache else 1)
         self._state = st
         return ISAM2Result(
             factors_total=sum(h["k"] for h in self._hosts.values()),
@@ -458,9 +470,11 @@ def _relinearize_rows(b: _BatchState, theta, rows):
     return fm.whiten_system_fm(noise, r_fm, Js_fm, b.rdim, dims)
 
 
-@partial(jax.jit, static_argnames=("cg_maxiter", "relin_chunk"))
+@partial(jax.jit, static_argnames=("cg_maxiter", "relin_chunk",
+                                   "precond_kind", "use_cache"))
 def _isam2_update(st: _State, beta, lam, cg_maxiter, cg_tol, cg_tol_abs,
-                  relin_chunk):
+                  relin_chunk, precond_kind="jacobi", pcache=None,
+                  use_cache=False):
     # ---- 1. fluid relinearization: variables with |delta| > beta ----
     relin_var = {}
     for g in st.theta:
@@ -535,24 +549,152 @@ def _isam2_update(st: _State, beta, lam, cg_maxiter, cg_tol, cg_tol_abs,
         hx = lin.hessian_vector_product(x)
         return jax.tree.map(lambda h, xg: h + lam * xg, hx, x)
 
-    precond = fm._block_jacobi_fm(lin, lam)
+    if not use_cache or pcache is None:
+        pcache = _build_precond_cache(lin, st, lam, precond_kind)
+    precond = lambda r: _apply_precond(pcache, precond_kind, r)
     delta_new, cg_it = _pcg_counting(matvec, b_rhs, precond, delta,
                                      cg_maxiter, cg_tol, cg_tol_abs)
     return (_State(theta, delta_new, st.nvar, new_batches), total_relin,
-            cg_it)
+            cg_it, pcache)
+
+
+# ---------------------------------------------------------------------------
+# preconditioners
+# ---------------------------------------------------------------------------
+
+def _build_precond_cache(lin: fm.FMGraph, st: _State, lam, kind: str):
+    """'jacobi' — per-variable block diagonal; 'chain:<group>' — block-
+    tridiagonal along <group>'s index chain (the spanning-subgraph/SPCG
+    preconditioner, reference: SubgraphPreconditioner linear/SubgraphSolver.h
+    :76 — made incremental). The chain system is the normal equations of all
+    span-1 factors plus everything else's diagonal, hence SPD. The cache is
+    reused for `precond_refresh` updates (a stale SPD preconditioner is
+    still a valid preconditioner)."""
+    blocks = lin.hessian_block_diagonal()
+    if kind.startswith("chain:"):
+        cgroup = kind[len("chain:"):]
+        cap = blocks[cgroup].shape[-1]
+        O = _chain_offdiag(lin, cgroup, cap)
+        Uinv, Om = _chain_factorize(blocks[cgroup], O, st.nvar[cgroup], lam)
+        others = {g: B for g, B in blocks.items() if g != cgroup}
+        inv = _invert_blocks_fm(others, lam)
+        return {"Uinv": Uinv, "Om": Om, "inv": inv}
+    return {"inv": _invert_blocks_fm(blocks, lam)}
+
+
+def _invert_blocks_fm(blocks, lam):
+    inv = {}
+    for g, Bf in blocks.items():
+        d = manifolds.get(g).dim
+        N = Bf.shape[-1]
+        B = Bf.T.reshape(N, d, d)
+        eye = jnp.eye(d, dtype=Bf.dtype)
+        B = B + (lam + 1e-10) * eye
+        inv[g] = jnp.linalg.inv(B).reshape(N, d * d).T
+    return inv
+
+
+def _apply_precond(cache, kind: str, r):
+    out = {}
+    for g, I in cache["inv"].items():
+        d = manifolds.get(g).dim
+        out[g] = fm.fm_matvec(I, r[g], d, d)
+    if kind.startswith("chain:"):
+        cgroup = kind[len("chain:"):]
+        out[cgroup] = _chain_apply(cache["Uinv"], cache["Om"], r[cgroup])
+    return out
+
+
+def _chain_offdiag(lin: fm.FMGraph, group: str, cap: int):
+    """Harvest consecutive-coupling blocks H_{i,i+1} of `group` as flat
+    [d*d, cap] (column i holds the block coupling i and i+1)."""
+    d = manifolds.get(group).dim
+    O = jnp.zeros((d * d, cap), dtype=lin._dtype())
+    for b in lin.batches:
+        rdim = b.rdim
+        for s in range(len(b.groups)):
+            for t in range(len(b.groups)):
+                if s == t or b.groups[s] != group or b.groups[t] != group:
+                    continue
+                ii, jj = b.idx[s], b.idx[t]
+                consec = jj == ii + 1
+                C = fm.fm_atb(b.Js[s], b.Js[t], rdim, d, d)   # H_{ii,jj}
+                tgt = jnp.where(consec, ii, cap)              # OOB -> dropped
+                O = O.at[:, tgt].add(jnp.where(consec[None, :], C, 0.0),
+                                     mode="drop")
+    return O
+
+
+def _chain_factorize(Dbd, O, nvar, lam):
+    """Block-Thomas LDLᵀ of the tridiagonal system (scan over the chain).
+    Dbd: [d*d, cap] diagonal blocks (all factors), O: [d*d, cap] (O_i couples
+    i, i+1). Returns (Uinv [cap, d, d] = inv(D̃_i), Om [cap, d, d])."""
+    dd, cap = Dbd.shape
+    d = int(round(dd ** 0.5))
+    eye = jnp.eye(d, dtype=Dbd.dtype)
+    act = jnp.arange(cap) < nvar
+    Dm = Dbd.T.reshape(cap, d, d) + (lam + 1e-12) * eye
+    Dm = jnp.where(act[:, None, None], Dm, eye[None])
+    oact = jnp.arange(cap) < (nvar - 1)
+    Om = jnp.where(oact[:, None, None], O.T.reshape(cap, d, d), 0.0)
+    Oprev = jnp.concatenate([jnp.zeros((1, d, d), dtype=O.dtype), Om[:-1]])
+
+    def step(Uinv_prev, inp):
+        Di, Oim1 = inp
+        Dt = Di - Oim1.T @ (Uinv_prev @ Oim1)
+        Uinv = jnp.linalg.inv(Dt)
+        return Uinv, Uinv
+
+    _, Uinv = jax.lax.scan(step, jnp.zeros((d, d), dtype=Dbd.dtype),
+                           (Dm, Oprev))
+    return Uinv, Om
+
+
+def _affine_scan(M, c, reverse=False):
+    """Solve the first-order recurrence z_i = M_i z_{i-1} + c_i for all i via
+    associative_scan (O(log N) depth, fully vectorized: the reason chain
+    substitution is viable on TPU at all). M: [N, d, d], c: [N, d]."""
+    def combine(a, b):
+        Ma, ca = a
+        Mb, cb = b
+        return (jnp.einsum("...ij,...jk->...ik", Mb, Ma),
+                jnp.einsum("...ij,...j->...i", Mb, ca) + cb)
+
+    _, z = jax.lax.associative_scan(combine, (M, c), reverse=reverse, axis=0)
+    return z
+
+
+def _chain_apply(Uinv, Om, r_fm):
+    """Solve the tridiagonal preconditioner system: forward then backward
+    block substitution as two parallel-prefix affine recurrences."""
+    cap, d, _ = Uinv.shape
+    r = r_fm.T                                       # [cap, d]
+    Oprev = jnp.concatenate([jnp.zeros((1, d, d), dtype=Om.dtype), Om[:-1]])
+    Uinv_prev = jnp.concatenate([jnp.eye(d, dtype=Uinv.dtype)[None],
+                                 Uinv[:-1]])
+    # forward: z_i = r_i - O_{i-1}^T U_{i-1} z_{i-1}
+    Mf = -jnp.einsum("nij,njk->nik", jnp.swapaxes(Oprev, 1, 2), Uinv_prev)
+    z = _affine_scan(Mf, r)
+    # backward: x_i = U_i z_i - U_i O_i x_{i+1}
+    Mb = -jnp.einsum("nij,njk->nik", Uinv, Om)
+    cb = jnp.einsum("nij,nj->ni", Uinv, z)
+    # reverse recurrence: x_i depends on x_{i+1}
+    x = _affine_scan(Mb, cb, reverse=True)
+    return x.T
 
 
 def _pcg_counting(matvec, b, precond, x0, maxiter, tol, tol_abs=0.0):
     """Warm-started PCG; returns (x, iterations_used). The early-exit
-    tolerance is the wildfire analogue: iterations stop once the residual is
-    small relative to ||b|| (with an absolute floor for already-converged
-    systems, e.g. pure odometry where the composed init is exact)."""
+    tolerance is the wildfire analogue: iterations stop once the residual
+    has shrunk by `tol` relative to THIS update's entry residual (with an
+    absolute floor for already-converged systems, e.g. pure odometry where
+    the composed init is exact)."""
     from gtsam_personal_tpu.core.values import tree_axpy, tree_sub, tree_vdot
     r0 = tree_sub(b, matvec(x0))
     z0 = precond(r0)
     rz0 = tree_vdot(r0, z0)
-    bnorm2 = tree_vdot(b, b)
-    threshold = jnp.maximum(tol * tol * bnorm2, tol_abs * tol_abs)
+    r0norm2 = tree_vdot(r0, r0)
+    threshold = jnp.maximum(tol * tol * r0norm2, tol_abs * tol_abs)
 
     def cond(state):
         k, x, r, z, p, rz = state

@@ -89,7 +89,10 @@ def _solve(lin, layout, lam, diag_damping, params: Params, plan=None):
         return solvers.solve_pcg(lin, lam, diag_damping,
                                  maxiter=params.pcg_maxiter, tol=params.pcg_tol)
     if params.solver == "schur":
+        from gtsam_personal_tpu.linear.mlschur import MLPlan, solve_ml
         from gtsam_personal_tpu.linear.schur import solve_partitioned
+        if isinstance(plan, MLPlan):
+            return solve_ml(lin, plan, lam)
         return solve_partitioned(lin, plan, lam)
     if params.solver == "qr":
         # dense QR route: never forms J^T J (reference: EliminateQR);
