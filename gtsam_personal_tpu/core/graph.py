@@ -32,7 +32,8 @@ class FactorBatch:
 
     def __init__(self, name: str, residual_fn: Callable,
                  groups: Tuple[str, ...], rdim: int,
-                 idx: jnp.ndarray, meas, noise: NoiseModel):
+                 idx: jnp.ndarray, meas, noise: NoiseModel,
+                 sign: float = 1.0):
         self.name = name
         self.residual_fn = residual_fn
         self.groups = tuple(groups)
@@ -40,19 +41,25 @@ class FactorBatch:
         self.idx = idx            # i32 [K, nslots]
         self.meas = meas          # pytree, leading K
         self.noise = noise
+        # sign = -1.0 turns the batch into an AntiFactor: its linearized
+        # Hessian/gradient contribution and error are SUBTRACTED, exactly
+        # cancelling an identical +1 batch (reference: slam/AntiFactor.h:97
+        # returns the negated GaussianFactor).
+        self.sign = float(sign)
 
     @property
     def size(self):
         return self.idx.shape[0]
 
     def tree_flatten(self):
-        return (self.idx, self.meas, self.noise), (self.name, self.residual_fn, self.groups, self.rdim)
+        return (self.idx, self.meas, self.noise), (
+            self.name, self.residual_fn, self.groups, self.rdim, self.sign)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        name, residual_fn, groups, rdim = aux
+        name, residual_fn, groups, rdim, sign = aux
         idx, meas, noise = children
-        return cls(name, residual_fn, groups, rdim, idx, meas, noise)
+        return cls(name, residual_fn, groups, rdim, idx, meas, noise, sign)
 
     # -- evaluation --------------------------------------------------------
     def gather_points(self, values: Values):
@@ -63,7 +70,15 @@ class FactorBatch:
         return jax.vmap(self.residual_fn)(pts, self.meas)
 
     def error(self, values: Values):
-        return noise_error(self.noise, self.residuals(values))
+        return self.sign * noise_error(self.noise, self.residuals(values))
+
+    def negated(self) -> "FactorBatch":
+        """AntiFactor wrapper (reference: slam/AntiFactor.h) — a batch whose
+        error and linearized contribution carry the opposite sign, removing
+        the effect of an identical already-added batch from any solve."""
+        return FactorBatch(self.name + "_anti", self.residual_fn, self.groups,
+                           self.rdim, self.idx, self.meas, self.noise,
+                           sign=-self.sign)
 
     def __repr__(self):
         return f"FactorBatch({self.name}, K={self.idx.shape[0]}, groups={self.groups})"

@@ -65,14 +65,53 @@ def uncalibrate_cal3fisheye(k, p):
     return jnp.stack([fx * xd + s * yd + u0, fy * yd + v0])
 
 
+def uncalibrate_cal3unified(k, p):
+    """Unified (omnidirectional/catadioptric) model: the mirror parameter xi
+    maps through the unit sphere first, then Cal3DS2 distortion applies
+    (reference: Cal3Unified::uncalibrate, Cal3Unified.h:38):
+      pn = p / (1 + xi * sqrt(x^2 + y^2 + 1))."""
+    xi = k[9]
+    den = 1.0 + xi * jnp.sqrt(p[0] * p[0] + p[1] * p[1] + 1.0)
+    pn = p / den
+    return uncalibrate_cal3ds2(k[:9], pn)
+
+
+def nplane_to_space_cal3unified(k, pn):
+    """Inverse of the unified model's sphere mapping: normalized-plane point
+    (post-mirror) back to the perspective-projection plane (reference:
+    Cal3Unified::nPlaneToSpace). Standard UCM unprojection: lift to the unit
+    sphere with f = (xi + sqrt(1 + (1-xi^2) r^2)) / (1 + r^2), then divide by
+    the sphere z minus xi."""
+    xi = k[9]
+    r2 = pn[0] * pn[0] + pn[1] * pn[1]
+    f = (xi + jnp.sqrt(jnp.maximum(1.0 + (1.0 - xi * xi) * r2, 0.0))) / (1.0 + r2)
+    return pn * f / jnp.maximum(f - xi, 1e-12)
+
+
 UNCALIBRATE = {
     "cal3_s2": uncalibrate_cal3_s2,
     "cal3bundler": uncalibrate_cal3bundler,
     "cal3ds2": uncalibrate_cal3ds2,
     "cal3fisheye": uncalibrate_cal3fisheye,
+    "cal3unified": uncalibrate_cal3unified,
 }
 
-CAL_DIMS = {"cal3_s2": 5, "cal3bundler": 3, "cal3ds2": 9, "cal3fisheye": 9}
+CAL_DIMS = {"cal3_s2": 5, "cal3bundler": 3, "cal3ds2": 9, "cal3fisheye": 9,
+            "cal3unified": 10, "cal3_s2stereo": 6}
+
+
+def stereo_project(k, pc):
+    """Cal3_S2Stereo projection of a camera-frame point to (uL, uR, v)
+    (reference: Cal3_S2Stereo.h + StereoCamera::project). k = [fx, fy, s,
+    u0, v0, b]."""
+    fx, fy, s, u0, v0, b = k[0], k[1], k[2], k[3], k[4], k[5]
+    z = pc[2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    x, y = pc[0] / z_safe, pc[1] / z_safe
+    uL = fx * x + s * y + u0
+    uR = fx * (pc[0] - b) / z_safe + s * y + u0
+    v = fy * y + v0
+    return jnp.stack([uL, uR, v])
 
 
 def project_point(pose, point, cal_params, cal_model: str = "cal3_s2",

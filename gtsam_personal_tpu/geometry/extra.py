@@ -263,3 +263,104 @@ def spherical_reprojection_error(pose, point, measured_unit):
     (reference: SphericalCamera::reprojectionError)."""
     pred = spherical_project(pose, point)
     return unit3_local(measured_unit, pred)
+
+
+# ---------------------------------------------------------------------------
+# Sim(2) — planar similarity transforms, 4-dof (reference: Similarity2.h)
+# stored [4]: (x, y, theta, s); tangent ordering (u1, u2, theta, lambda)
+# matching Similarity2::Expmap (Similarity2.cpp:237)
+# ---------------------------------------------------------------------------
+
+def sim2_make(t, theta, s):
+    return jnp.concatenate([t, jnp.atleast_1d(theta), jnp.atleast_1d(s)])
+
+
+def sim2_t(g):
+    return g[:2]
+
+
+def sim2_theta(g):
+    return g[2]
+
+
+def sim2_s(g):
+    return g[3]
+
+
+def sim2_identity(dtype=jnp.float32):
+    return jnp.array([0.0, 0.0, 0.0, 1.0], dtype=dtype)
+
+
+def sim2_compose(a, b):
+    from gtsam_personal_tpu.geometry import so2
+    t = sim2_t(a) + sim2_s(a) * so2.rotate(sim2_theta(a), sim2_t(b))
+    return sim2_make(t, sim2_theta(a) + sim2_theta(b), sim2_s(a) * sim2_s(b))
+
+
+def sim2_inverse(a):
+    from gtsam_personal_tpu.geometry import so2
+    sinv = 1.0 / sim2_s(a)
+    t = -sinv * so2.unrotate(sim2_theta(a), sim2_t(a))
+    return sim2_make(t, -sim2_theta(a), sinv)
+
+
+def sim2_transform(g, p):
+    from gtsam_personal_tpu.geometry import so2
+    return sim2_s(g) * so2.rotate(sim2_theta(g), p) + sim2_t(g)
+
+
+def _sim2_V(theta, lam):
+    """V(theta, lambda) = ∫₀¹ e^{λτ} R(θτ) dτ — computed exactly via the
+    complex integral (e^z − 1)/z with z = λ + iθ, which is well-conditioned
+    at every (θ, λ) including both → 0, unlike the reference's
+    alpha = 1/(1 + θ²/λ²) split (Similarity2.cpp:197 GetV)."""
+    dt = jnp.result_type(theta, lam)
+    cdt = jnp.complex64 if dt == jnp.float32 else jnp.complex128
+    z = lam.astype(cdt) + 1j * theta.astype(cdt)
+    small = jnp.abs(z) < 1e-4
+    z_safe = jnp.where(small, 1.0, z)
+    w = jnp.where(small, 1.0 + z / 2.0 + z * z / 6.0,
+                  (jnp.exp(z_safe) - 1.0) / z_safe)
+    X, Y = jnp.real(w).astype(dt), jnp.imag(w).astype(dt)
+    return jnp.array([[X, -Y], [Y, X]])
+
+
+def sim2_expmap(xi):
+    """xi = (u1, u2, theta, lambda) (reference: Similarity2::Expmap)."""
+    u, theta, lam = xi[:2], xi[2], xi[3]
+    return sim2_make(_sim2_V(theta, lam) @ u, theta, jnp.exp(lam))
+
+
+def sim2_logmap(g):
+    from gtsam_personal_tpu.geometry import so2
+    theta = so2.wrap(sim2_theta(g))
+    lam = jnp.log(sim2_s(g))
+    V = _sim2_V(theta, lam)
+    # V is a scaled rotation [[X,-Y],[Y,X]]: invert in closed form
+    det = V[0, 0] ** 2 + V[1, 0] ** 2
+    Vinv = jnp.array([[V[0, 0], V[1, 0]], [-V[1, 0], V[0, 0]]]) / det
+    u = Vinv @ sim2_t(g)
+    return jnp.concatenate([u, jnp.stack([theta, lam])])
+
+
+SIM2 = manifolds.register(manifolds.Manifold(
+    "sim2", 4, (4,),
+    lambda g, xi: sim2_compose(g, sim2_expmap(xi)),
+    lambda a, b: sim2_logmap(sim2_compose(sim2_inverse(a), b)),
+    sim2_identity))
+
+
+def sim2_align_pairs(src, dst):
+    """Closed-form Sim(2) aligning src[i] -> dst[i] (umeyama; reference:
+    Similarity2::Align)."""
+    ms, md = src.mean(axis=0), dst.mean(axis=0)
+    cs, cd = src - ms, dst - md
+    Sxx = cd.T @ cs
+    # optimal rotation maximizing trace(R S^T); 2x2 closed form
+    theta = jnp.arctan2(Sxx[1, 0] - Sxx[0, 1], Sxx[0, 0] + Sxx[1, 1])
+    from gtsam_personal_tpu.geometry import so2
+    num = jnp.sum(jnp.cos(theta) * (cd[:, 0] * cs[:, 0] + cd[:, 1] * cs[:, 1])
+                  + jnp.sin(theta) * (cd[:, 1] * cs[:, 0] - cd[:, 0] * cs[:, 1]))
+    s = num / jnp.maximum(jnp.sum(cs ** 2), 1e-12)
+    t = md - s * so2.rotate(theta, ms)
+    return sim2_make(t, theta, s)

@@ -41,19 +41,22 @@ class LinearBatch:
     J_s: [K, rdim, dim_s] and r: [K, rdim]."""
 
     def __init__(self, groups: Tuple[str, ...], idx: jnp.ndarray,
-                 Js: Tuple[jnp.ndarray, ...], r: jnp.ndarray):
+                 Js: Tuple[jnp.ndarray, ...], r: jnp.ndarray,
+                 sign: float = 1.0):
         self.groups = tuple(groups)
         self.idx = idx
         self.Js = tuple(Js)
         self.r = r
+        self.sign = float(sign)   # -1.0: AntiFactor (subtract contribution)
 
     def tree_flatten(self):
-        return (self.idx, self.Js, self.r), self.groups
+        return (self.idx, self.Js, self.r), (self.groups, self.sign)
 
     @classmethod
-    def tree_unflatten(cls, groups, children):
+    def tree_unflatten(cls, aux, children):
+        groups, sign = aux
         idx, Js, r = children
-        return cls(groups, idx, Js, r)
+        return cls(groups, idx, Js, r, sign)
 
     @property
     def size(self):
@@ -80,7 +83,7 @@ class GaussianGraph:
     # -- quadratic model ---------------------------------------------------
     def error_at_zero(self):
         """0.5 ||r||^2 — the linearized cost at delta = 0."""
-        return sum(0.5 * jnp.sum(b.r * b.r) for b in self.batches)
+        return sum(b.sign * 0.5 * jnp.sum(b.r * b.r) for b in self.batches)
 
     def zero_tangent(self, dtype):
         return {g: jnp.zeros((n, manifolds.get(g).dim), dtype=dtype)
@@ -106,7 +109,7 @@ class GaussianGraph:
         for b, u in zip(self.batches, us):
             for s, g in enumerate(b.groups):
                 contrib = _einsum_hp("kij,ki->kj", b.Js[s], u)
-                out[g] = out[g].at[b.idx[:, s]].add(contrib)
+                out[g] = out[g].at[b.idx[:, s]].add(b.sign * contrib)
         return out
 
     def hessian_vector_product(self, delta):
@@ -126,7 +129,7 @@ class GaussianGraph:
         for b in self.batches:
             for s, g in enumerate(b.groups):
                 d2 = jnp.sum(b.Js[s] * b.Js[s], axis=1)  # [K, dim_s]
-                out[g] = out[g].at[b.idx[:, s]].add(d2)
+                out[g] = out[g].at[b.idx[:, s]].add(b.sign * d2)
         return out
 
     def hessian_block_diagonal(self):
@@ -140,7 +143,7 @@ class GaussianGraph:
         for b in self.batches:
             for s, g in enumerate(b.groups):
                 blk = _einsum_hp("kij,kil->kjl", b.Js[s], b.Js[s])
-                out[g] = out[g].at[b.idx[:, s]].add(blk)
+                out[g] = out[g].at[b.idx[:, s]].add(b.sign * blk)
         return out
 
     # -- dense path (reference: GaussianFactorGraph::optimizeDensely) -------
@@ -158,12 +161,12 @@ class GaussianGraph:
                 row_offsets.append(base[:, None] + jnp.arange(d)[None, :])  # [K, d]
             for s in range(len(b.groups)):
                 Jts = _einsum_hp("kij,ki->kj", b.Js[s], b.r)
-                gvec = gvec.at[row_offsets[s]].add(Jts)
+                gvec = gvec.at[row_offsets[s]].add(b.sign * Jts)
                 for t in range(len(b.groups)):
                     blk = _einsum_hp("kij,kil->kjl", b.Js[s], b.Js[t])  # [K, ds, dt]
                     rows = row_offsets[s][:, :, None]
                     cols = row_offsets[t][:, None, :]
-                    H = H.at[rows, cols].add(blk)
+                    H = H.at[rows, cols].add(b.sign * blk)
         return H, gvec
 
 
@@ -188,7 +191,8 @@ def linearize_batch(batch: "FactorBatch", values: Values) -> LinearBatch:
 
     r, Js = jax.vmap(one)(pts, batch.meas)
     rw, Jw = whiten_system(batch.noise, r, Js)
-    return LinearBatch(batch.groups, batch.idx, Jw, rw)
+    return LinearBatch(batch.groups, batch.idx, Jw, rw,
+                       getattr(batch, "sign", 1.0))
 
 
 def linearize(graph: "FactorGraph", values: Values) -> GaussianGraph:

@@ -126,3 +126,48 @@ def add_combined_imu_factor(builder, i, j, bias_i, bias_j, pim: pre.PIM,
 def add_gps_factor(builder, i, position, noise_dict, pose_group="se3"):
     builder.add("gps", gps_residual, (pose_group,), 3, [i],
                 {"measured": np.asarray(position)}, noise_dict)
+
+
+# -- magnetometer factors (reference: gtsam/navigation/MagFactor.h) ----------
+
+def mag_rot3_residual(xs, meas):
+    """MagFactor1: rotation-only unknown; predicted body-frame field
+    bM = nRb^T nM + bias (reference: MagFactor.h:121). meas: nM [3] (scale *
+    direction), bias [3], measured [3]."""
+    (nRb,) = xs
+    return nRb.T @ meas["nM"] + meas["bias"] - meas["measured"]
+
+
+def mag_field_bias_residual(xs, meas):
+    """MagFactor2: unknown nav-frame field nM and bias, known attitude bRn
+    (reference: MagFactor.h:162)."""
+    nM, bias = xs
+    return meas["bRn"] @ nM + bias - meas["measured"]
+
+
+def mag_scale_dir_bias_residual(xs, meas):
+    """MagFactor3: unknown scale (r1), field direction (unit3) and bias
+    (reference: MagFactor.h:174): bM = scale * bRn * direction + bias."""
+    scale, direction, bias = xs
+    return scale[0] * (meas["bRn"] @ direction) + bias - meas["measured"]
+
+
+def mag_pose_residual(xs, meas):
+    """MagPoseFactor<Pose3> (reference: navigation/MagPoseFactor.h): field
+    measured in the body frame of a full pose."""
+    (pose,) = xs
+    return se3.rotation(pose).T @ meas["nM"] + meas["bias"] - meas["measured"]
+
+
+def add_ahrs_factor(builder, i, j, bias_key, apim: "pre.AhrsPIM",
+                    rot_group="so3", bias_group="gyro_bias"):
+    """Add an AHRSFactor (Rot_i, Rot_j, gyro bias) to a GraphBuilder
+    (reference: AHRSFactor.h:135)."""
+    from gtsam_personal_tpu.slam.factors import full_info_noise
+    manifolds.vector_space(bias_group, 3)
+    cov = np.asarray(apim.cov)
+    info = np.linalg.inv(0.5 * (cov + cov.T))
+    meas = {"theta": np.asarray(apim.theta), "H_bw": np.asarray(apim.H_bw),
+            "bias_hat": np.asarray(apim.bias_hat)}
+    builder.add("ahrs", pre.ahrs_residual, (rot_group, rot_group, bias_group),
+                3, [i, j, bias_key], meas, full_info_noise(info))

@@ -142,3 +142,110 @@ def compute_error(pim: PIM, params: PreintegrationParams, state_i, state_j, bias
     """PreintegrationBase::computeError: r = Local(state_j, predict(state_i))."""
     pred = predict(pim, params, state_i, bias)
     return navstate.local(state_j, pred)
+
+
+# ---------------------------------------------------------------------------
+# Manifold preintegration backend (reference: ManifoldPreintegration.{h,cpp})
+# ---------------------------------------------------------------------------
+
+def _manifold_scan(bias, accs, gyros, dts):
+    """Integrate (deltaR, deltaP, deltaV) ON the manifold — R composes as an
+    exact rotation matrix at every step (the reference backend's defining
+    property vs the tangent backend's first-order theta update)."""
+    dtype = accs.dtype
+    ba, bw = bias[:3], bias[3:]
+
+    def step(carry, inp):
+        R, p, v = carry
+        acc_m, gyro_m, dt = inp
+        a = acc_m - ba
+        w = gyro_m - bw
+        a_nav = R @ a
+        p_new = p + v * dt + 0.5 * dt * dt * a_nav
+        v_new = v + a_nav * dt
+        R_new = R @ so3.expmap(w * dt)
+        return (R_new, p_new, v_new), None
+
+    init = (jnp.eye(3, dtype=dtype), jnp.zeros(3, dtype=dtype),
+            jnp.zeros(3, dtype=dtype))
+    (R, p, v), _ = jax.lax.scan(step, init, (accs, gyros, dts))
+    return R, p, v
+
+
+def integrate_manifold(params: PreintegrationParams, bias_hat: jnp.ndarray,
+                       accs: jnp.ndarray, gyros: jnp.ndarray,
+                       dts: jnp.ndarray) -> PIM:
+    """ManifoldPreintegration analogue returning the same PIM record, so
+    predict / compute_error / the IMU factors work with either backend.
+
+    The reference hand-propagates delRdelBiasOmega / delPdelBiasAcc / ...
+    per sample (ManifoldPreintegration.cpp:77); here the bias Jacobians are
+    one `jacfwd` of the whole scan with respect to the bias — exact
+    first-order sensitivities of the final (Log deltaR, deltaP, deltaV)."""
+
+    def final_zeta(bias):
+        R, p, v = _manifold_scan(bias, accs, gyros, dts)
+        return jnp.concatenate([so3.logmap(R), p, v])
+
+    zeta = final_zeta(bias_hat)
+    H = jax.jacfwd(final_zeta)(bias_hat)          # [9, 6]
+    # covariance: same first-order propagation as the tangent backend (both
+    # backends agree on cov to O(dt^2); reference ManifoldPreintegration
+    # reuses PreintegratedImuMeasurements' A/B/C recursion)
+    pim_t = integrate(params, bias_hat, accs, gyros, dts)
+    return PIM(zeta, H[:, :3], H[:, 3:], pim_t.cov, bias_hat,
+               jnp.sum(dts))
+
+
+# ---------------------------------------------------------------------------
+# AHRS: rotation-only preintegration (reference: AHRSFactor.h,
+# PreintegratedAhrsMeasurements / PreintegratedRotation.h)
+# ---------------------------------------------------------------------------
+
+class AhrsPIM(NamedTuple):
+    """Preintegrated gyro measurements (reference:
+    PreintegratedAhrsMeasurements, AHRSFactor.h:36)."""
+    theta: jnp.ndarray      # [3] Log(deltaRij)
+    H_bw: jnp.ndarray       # [3,3] d theta / d gyro bias
+    cov: jnp.ndarray        # [3,3] preintMeasCov
+    bias_hat: jnp.ndarray   # [3]
+    deltaT: jnp.ndarray
+
+
+def integrate_ahrs(gyro_cov: jnp.ndarray, bias_hat: jnp.ndarray,
+                   gyros: jnp.ndarray, dts: jnp.ndarray) -> AhrsPIM:
+    """PreintegratedAhrsMeasurements::integrateMeasurement as one scan;
+    deltaRij composes exactly, the bias Jacobian is jacfwd through the scan."""
+    dtype = gyros.dtype
+
+    def final_theta(bw):
+        def step(R, inp):
+            gyro_m, dt = inp
+            return R @ so3.expmap((gyro_m - bw) * dt), None
+        R, _ = jax.lax.scan(step, jnp.eye(3, dtype=dtype), (gyros, dts))
+        return so3.logmap(R)
+
+    theta = final_theta(bias_hat)
+    H = jax.jacfwd(final_theta)(bias_hat)
+
+    def cov_step(cov, inp):
+        gyro_m, dt = inp
+        w = (gyro_m - bias_hat) * dt
+        A = so3.expmap(w).T            # whole-rotation error transport
+        Jr = so3.left_jacobian(-w)     # right Jacobian of Exp
+        B = Jr * dt
+        dt_safe = jnp.maximum(dt, 1e-12)
+        return A @ cov @ A.T + B @ (gyro_cov.astype(dtype) / dt_safe) @ B.T, None
+
+    cov, _ = jax.lax.scan(cov_step, jnp.zeros((3, 3), dtype=dtype),
+                          (gyros, dts))
+    return AhrsPIM(theta, H, cov, bias_hat, jnp.sum(dts))
+
+
+def ahrs_residual(xs, meas):
+    """AHRSFactor::evaluateError (AHRSFactor.cpp): r = Log( (deltaRij *
+    Exp(H (b - b_hat)))^{-1} * Ri^{-1} Rj ). Variables: (Ri, Rj, bias[3])."""
+    Ri, Rj, bias = xs
+    theta_corr = meas["theta"] + meas["H_bw"] @ (bias - meas["bias_hat"])
+    dR_corr = so3.expmap(theta_corr)
+    return so3.logmap(dR_corr.T @ (Ri.T @ Rj))

@@ -166,3 +166,71 @@ def build_smart_batches(tracks: Sequence[Sequence[int]],
             tuple([pose_group] * T), 2 * T,
             jnp.asarray(idx), {"uv": jnp.asarray(uv)}, noise))
     return batches
+
+
+def make_smart_rig_residual(track_len: int, refine_iters: int = 3):
+    """SmartProjectionRigFactor (reference: slam/SmartProjectionRigFactor.h):
+    variables are BODY poses; each observation carries its fixed body-to-
+    camera extrinsic (the rig) and Cal3_S2 intrinsics in `meas`:
+      meas['uv'] [T, 2] pixels, meas['bTc'] [T, 3, 4], meas['cal'] [T, 5].
+    The landmark is eliminated by embedded differentiable triangulation,
+    exactly like make_smart_residual."""
+    from gtsam_personal_tpu.geometry import cameras as cam_geo
+    T = track_len
+
+    def residual(xs, meas):
+        bodies = jnp.stack(xs)                                    # [T, 3, 4]
+        poses = jax.vmap(se3.compose)(bodies, meas["bTc"])        # wTc
+        cal = meas["cal"]                                         # [T, 5]
+        # normalize pixels to the unit plane for DLT (invert Cal3_S2)
+        uv = meas["uv"]
+        x = (uv[:, 0] - cal[:, 3]) / cal[:, 0] \
+            - cal[:, 2] * (uv[:, 1] - cal[:, 4]) / (cal[:, 0] * cal[:, 1])
+        y = (uv[:, 1] - cal[:, 4]) / cal[:, 1]
+        uv_n = jnp.stack([x, y], axis=1)
+        point, degenerate = tri.triangulate_dlt(poses, uv_n)
+        point = tri.refine_nonlinear(poses, uv_n, point, iters=refine_iters)
+        depths = jax.vmap(lambda p: se3.transform_to(p, point)[2])(poses)
+        ok = jnp.logical_and(jnp.logical_not(degenerate),
+                             jnp.all(depths > 1e-3))
+        w = jnp.where(ok, 1.0, 0.0).astype(uv.dtype)
+
+        def reproj(pose, cal_t, uv_t):
+            return cam_geo.project_point(pose, point, cal_t, "cal3_s2") - uv_t
+
+        r = jax.vmap(reproj)(poses, cal, uv)
+        return w * r.reshape(-1)
+
+    residual.__name__ = f"smart_rig_T{T}"
+    return residual
+
+
+def build_smart_rig_batches(tracks: Sequence[Sequence[int]],
+                            measurements: Sequence[np.ndarray],
+                            cam_ids: Sequence[Sequence[int]],
+                            rig_bTc: np.ndarray, rig_cal: np.ndarray,
+                            sigma: float = 1.0, pose_group: str = "se3",
+                            dtype=np.float64) -> List[FactorBatch]:
+    """tracks[k]: body-pose indices; cam_ids[k]: which rig camera took each
+    observation; rig_bTc [C, 3, 4], rig_cal [C, 5]."""
+    by_len: Dict[int, List[int]] = {}
+    for k, t in enumerate(tracks):
+        by_len.setdefault(len(t), []).append(k)
+    batches = []
+    for T, ks in sorted(by_len.items()):
+        if T < 2:
+            continue
+        idx = np.asarray([tracks[k] for k in ks], dtype=np.int32)
+        uv = np.asarray([measurements[k] for k in ks], dtype=dtype)
+        cams = np.asarray([cam_ids[k] for k in ks], dtype=np.int32)
+        bTc = np.asarray(rig_bTc, dtype=dtype)[cams]    # [K, T, 3, 4]
+        cal = np.asarray(rig_cal, dtype=dtype)[cams]    # [K, T, 5]
+        noise = NoiseModel("diag", jnp.full((len(ks), 2 * T), 1.0 / sigma,
+                                            dtype=jnp.asarray(uv).dtype))
+        batches.append(FactorBatch(
+            f"smart_rig_T{T}", make_smart_rig_residual(T),
+            tuple([pose_group] * T), 2 * T,
+            jnp.asarray(idx),
+            {"uv": jnp.asarray(uv), "bTc": jnp.asarray(bTc),
+             "cal": jnp.asarray(cal)}, noise))
+    return batches

@@ -163,3 +163,156 @@ def pose_rotation_prior_residual(xs, meas):
     from gtsam_personal_tpu.geometry import so3 as so3m
     (pose,) = xs
     return so3m.logmap(meas["measured"].T @ se3.rotation(pose))
+
+
+# -- slam long-tail factors (reference: gtsam/slam/) --------------------------
+
+def pose2_to_pose3(wTb):
+    """Pose3::FromPose2: embed a planar pose in SE(3) (z = 0, yaw only)."""
+    c, s = jnp.cos(wTb[2]), jnp.sin(wTb[2])
+    z = jnp.zeros((), dtype=wTb.dtype)
+    o = jnp.ones((), dtype=wTb.dtype)
+    R = jnp.array([[c, -s, z], [s, c, z], [z, z, o]])
+    t = jnp.stack([wTb[0], wTb[1], z])
+    return se3.make(R, t)
+
+
+def _planar_project(landmark, wTb, bTc, calib):
+    """Predict the pixel of `landmark` seen from camera `bTc` mounted on
+    planar body pose `wTb` with Cal3DS2 distortion (reference:
+    slam/PlanarProjectionFactor.h:57 PlanarProjectionFactorBase::predict)."""
+    from gtsam_personal_tpu.geometry import cameras as cam_geo
+    wTc = se3.compose(pose2_to_pose3(wTb), bTc)
+    return cam_geo.project_point(wTc, landmark, calib, "cal3ds2")
+
+
+def planar_projection1_residual(xs, meas):
+    """PlanarProjectionFactor1 — localization: unknown planar body pose,
+    known landmark/offset/calibration (reference:
+    slam/PlanarProjectionFactor.h:109)."""
+    (wTb,) = xs
+    pred = _planar_project(meas["landmark"], wTb, meas["bTc"], meas["calib"])
+    return pred - meas["measured"]
+
+
+def planar_projection2_residual(xs, meas):
+    """PlanarProjectionFactor2 — SLAM: unknown pose AND landmark (reference:
+    slam/PlanarProjectionFactor.h:171)."""
+    wTb, landmark = xs
+    pred = _planar_project(landmark, wTb, meas["bTc"], meas["calib"])
+    return pred - meas["measured"]
+
+
+def planar_projection3_residual(xs, meas):
+    """PlanarProjectionFactor3 — calibration: unknown pose, camera offset,
+    and calibration (reference: slam/PlanarProjectionFactor.h:237)."""
+    wTb, bTc, calib = xs
+    pred = _planar_project(meas["landmark"], wTb, bTc, calib)
+    return pred - meas["measured"]
+
+
+def rotate_residual(xs, meas):
+    """RotateFactor: predict p = R z from rotated directions of a full
+    rotation (reference: slam/RotateFactor.h:56)."""
+    (R,) = xs
+    return R @ meas["z"] - meas["p"]
+
+
+def rotate_directions_residual(xs, meas):
+    """RotateDirectionsFactor: tangent error between the measured direction
+    i_p and iRc * c_z (reference: slam/RotateFactor.h:110)."""
+    from gtsam_personal_tpu.geometry import extra
+    (iRc,) = xs
+    i_q = iRc @ meas["c_z"]
+    return extra.unit3_local(meas["i_p"], i_q)
+
+
+def make_reference_frame_residual(point_group: str = "point3",
+                                  transform_group: str = "se3"):
+    """ReferenceFrameFactor<Point, Transform>: ties a global point, a frame
+    transform, and the point's local-frame coordinates:
+    r = transform_from(lTg, p_global) - p_local (reference:
+    slam/ReferenceFrameFactor.h:43: 'Point = transformFrom(Transform,
+    Point)')."""
+    tf = se3.transform_from if transform_group == "se3" else se2.transform_from
+
+    def residual(xs, meas):
+        p_global, lTg, p_local = xs
+        return tf(lTg, p_global) - p_local
+
+    return residual
+
+
+def oriented_plane3_residual(xs, meas):
+    """OrientedPlane3Factor: measured plane in the sensor frame vs the world
+    plane transformed into that frame (reference:
+    slam/OrientedPlane3Factor.h:49)."""
+    from gtsam_personal_tpu.geometry import extra
+    pose, plane = xs
+    pred = extra.plane_transform(plane, pose)
+    return extra.plane_local(meas["measured"], pred)
+
+
+def oriented_plane3_direction_prior_residual(xs, meas):
+    """OrientedPlane3DirectionPrior (reference:
+    slam/OrientedPlane3Factor.h:82): prior on the plane normal direction."""
+    from gtsam_personal_tpu.geometry import extra
+    (plane,) = xs
+    return extra.unit3_local(meas["measured"][:3], plane[:3])
+
+
+def make_bounding_constraint_residual(value_fn, is_greater_than: bool = True):
+    """BoundingConstraint1-style scalar inequality (reference:
+    slam/BoundingConstraint.h:78): error is zero while the constraint is
+    satisfied and (value - threshold) once violated — a one-sided hinge whose
+    weight comes from the attached (tight) noise model.
+
+    value_fn(xs, meas) -> scalar; threshold rides in meas['threshold']."""
+
+    def residual(xs, meas):
+        v = value_fn(xs, meas) - meas["threshold"]
+        return jnp.atleast_1d(jnp.minimum(v, 0.0) if is_greater_than
+                              else jnp.maximum(v, 0.0))
+
+    return residual
+
+
+def range_bound_residual(xs, meas):
+    """Common bounding case: range between two planar poses must stay below
+    meas['threshold'] (reference: testBoundingConstraint.cpp usage)."""
+    a, b = xs
+    d = jnp.linalg.norm(se2.translation(b) - se2.translation(a) + 1e-12)
+    return jnp.atleast_1d(jnp.maximum(d - meas["threshold"], 0.0))
+
+
+# -- transfer factors (reference: gtsam/sfm/TransferFactor.h) -----------------
+
+def transfer_factor_residual(xs, meas):
+    """TransferFactor<FundamentalMatrix>: transfer the point pair (pa, pb)
+    into view c via two fundamental matrices and compare with pc (reference:
+    sfm/TransferFactor.h:86). Variables are (Fca, Fcb) as 'fundamental'
+    manifold points; meas carries pa, pb, pc and the transpose flags
+    resolved host-side from the EdgeKeys (TransferEdges::getMatrices)."""
+    from gtsam_personal_tpu.geometry import fundamental as fm
+    F1, F2 = xs
+    M1, M2 = fm.fundamental_matrix(F1), fm.fundamental_matrix(F2)
+    Fca = jnp.where(meas["transpose1"], M1.T, M1)
+    Fcb = jnp.where(meas["transpose2"], M2.T, M2)
+    pred = fm.epipolar_transfer(Fca, meas["pa"], Fcb, meas["pb"])
+    return pred - meas["pc"]
+
+
+def essential_transfer_residual(xs, meas):
+    """EssentialTransferFactor: same transfer with essential-matrix variables
+    and fixed calibrations (reference: sfm/TransferFactor.h
+    EssentialTransferFactor); meas carries calibrated Ka/Kb/Kc as 3x3."""
+    from gtsam_personal_tpu.geometry import extra, fundamental as fm
+    E1, E2 = xs
+    F1 = jnp.linalg.inv(meas["Kc"]).T @ extra.essential_matrix(E1) @ \
+        jnp.linalg.inv(meas["Ka"])
+    F2 = jnp.linalg.inv(meas["Kc"]).T @ extra.essential_matrix(E2) @ \
+        jnp.linalg.inv(meas["Kb"])
+    Fca = jnp.where(meas["transpose1"], F1.T, F1)
+    Fcb = jnp.where(meas["transpose2"], F2.T, F2)
+    pred = fm.epipolar_transfer(Fca, meas["pa"], Fcb, meas["pb"])
+    return pred - meas["pc"]
