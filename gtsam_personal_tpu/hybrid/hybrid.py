@@ -4,12 +4,24 @@ Reference parity: gtsam/hybrid/ (SURVEY.md §2.10) — HybridGaussianFactor
 (a discrete-indexed set of Gaussian factors), HybridNonlinearFactorGraph,
 EliminateHybrid (sum-product over mixtures), HybridBayesNet::prune.
 
-TPU-native formulation: instead of decision-tree-structured elimination, the
-discrete modes are ENUMERATED (their joint domain is small by construction in
-the reference's own use cases — data association, mode estimation) and the
-continuous problem is solved for every assignment IN ONE BATCH via vmap over
-the stacked per-assignment measurement arrays. The discrete posterior follows
-from the per-assignment optimum energies; pruning keeps the top-k leaves.
+TPU-native formulation: hypotheses (discrete assignments) are solved IN ONE
+BATCH — the per-hypothesis factor graphs share one structure and differ only
+in measurement values, so they stack on a leading axis and `jax.vmap` of the
+fully-jitted LM (optimizers.optimize_lm_jit) solves all of them in a single
+XLA program (`_solve_batch`). Two drivers sit on top:
+
+- `solve`: exact enumeration of the joint discrete domain — fine for the
+  reference's own use cases (a handful of mode variables);
+- `solve_beam`: sequential PER-MODE-VARIABLE elimination with pruning DURING
+  elimination — the analogue of the reference's EliminateHybrid +
+  in-elimination pruning (hybrid/HybridGaussianFactorGraph.h:106): mode
+  variables are introduced one at a time, each surviving hypothesis branches
+  over the new variable's values, and the beam is pruned back to
+  `max_leaves` before the next variable — cost is O(#vars * max_leaves *
+  card), never exponential.
+
+The discrete posterior follows from the per-hypothesis optimum energies
+(leaf weights of HybridBayesNet); pruning keeps the top-k leaves.
 
 A `HybridFactor` is an ordinary FactorBatch whose measurement pytree carries a
 leading MODES axis selected by a discrete variable assignment.
@@ -24,6 +36,24 @@ import jax.numpy as jnp
 from gtsam_personal_tpu.core.graph import FactorBatch, FactorGraph
 from gtsam_personal_tpu.core.values import Values
 from gtsam_personal_tpu.nonlinear import optimizers
+
+
+def _stack_trees(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _solve_batch(graphs, warms, params):
+    """Solve H structurally-identical continuous problems in ONE vmapped
+    fully-jitted LM call. Returns (list of Values, np energies [H])."""
+    if len(graphs) == 1:
+        res = optimizers.optimize_lm(graphs[0], warms[0], params)
+        return [res.values], np.asarray([res.error])
+    gs = _stack_trees(graphs)
+    vs = _stack_trees(warms)
+    vals, errs, _ = jax.vmap(
+        lambda g, v: optimizers.optimize_lm_jit(g, v, params))(gs, vs)
+    out = [jax.tree.map(lambda x: x[h], vals) for h in range(len(graphs))]
+    return out, np.asarray(errs)
 
 
 class HybridFactor:
@@ -97,20 +127,15 @@ class HybridFactorGraph:
 
         posterior[a] ∝ prior(a) * exp(-E*_a) with E*_a the optimum energy —
         the same leaf weights HybridBayesNet computes; prune_to keeps top-k
-        (HybridBayesNet::prune analogue)."""
+        (HybridBayesNet::prune analogue). All assignments are solved in ONE
+        vmapped batch."""
         params = params or optimizers.Params(max_iterations=25)
         assignments = self.assignments()
-        energies, results = [], []
-        for a in assignments:
-            res = optimizers.optimize_lm(self.graph_at(a), initial, params)
-            e = res.error
-            for v, m in a.items():
-                if v in self.discrete_priors:
-                    p = self.discrete_priors[v][m]
-                    e = e - float(np.log(max(p, 1e-300)))
-            energies.append(e)
-            results.append(res)
-        energies = np.asarray(energies)
+        graphs = [self.graph_at(a) for a in assignments]
+        values_list, energies = _solve_batch(
+            graphs, [initial] * len(graphs), params)
+        energies = np.asarray([self._prior_energy(a, e)
+                               for a, e in zip(assignments, energies)])
         order = np.argsort(energies)
         if prune_to is not None:
             order = order[:prune_to]
@@ -119,7 +144,57 @@ class HybridFactorGraph:
         posterior = {tuple(sorted(assignments[k].items())): float(wk)
                      for k, wk in zip(order, w)}
         best = int(order[0])
-        return results[best].values, assignments[best], posterior
+        return values_list[best], assignments[best], posterior
+
+    def _prior_energy(self, assignment, e):
+        e = float(e)
+        for v, m in assignment.items():
+            if v in self.discrete_priors:
+                e -= float(np.log(max(self.discrete_priors[v][m], 1e-300)))
+        return e
+
+    def solve_beam(self, initial: Values, max_leaves: int = 8,
+                   params: Optional[optimizers.Params] = None):
+        """Scalable hybrid inference: sequential per-mode-variable elimination
+        with pruning DURING elimination (the in-elimination pruning of the
+        reference's EliminateHybrid, hybrid/HybridGaussianFactorGraph.h:106).
+
+        Mode variables are introduced one at a time; each surviving
+        hypothesis branches over the new variable's values, the continuous
+        problems (restricted to factors whose mode variables are assigned so
+        far, plus all continuous factors) are solved in one vmapped batch,
+        and the beam is pruned to `max_leaves`. Total work is
+        O(#mode_vars * max_leaves * card) continuous solves — bounded, never
+        exponential in the number of mode variables.
+
+        Returns (best_values, best_assignment, posterior) like `solve`."""
+        params = params or optimizers.Params(max_iterations=25)
+        vars_ = self.mode_vars()
+        cards = {v: max(hf.num_modes for hf in self.hybrid
+                        if hf.mode_var == v) for v in vars_}
+        beam = [({}, initial, 0.0)]
+        for i, v in enumerate(vars_):
+            assigned = set(vars_[: i + 1])
+            active = [hf for hf in self.hybrid if hf.mode_var in assigned]
+            cands = [({**a, v: m}, vals)
+                     for a, vals, _ in beam for m in range(cards[v])]
+            graphs = [FactorGraph(list(self.continuous)
+                                  + [hf.at_mode(a[hf.mode_var])
+                                     for hf in active])
+                      for a, _ in cands]
+            values_list, errs = _solve_batch(
+                graphs, [w for _, w in cands], params)
+            scored = sorted(
+                [(a, vals, self._prior_energy(a, e))
+                 for (a, _), vals, e in zip(cands, values_list, errs)],
+                key=lambda t: t[2])
+            beam = scored[:max_leaves]
+        es = np.asarray([h[2] for h in beam])
+        w = np.exp(-(es - es.min()))
+        w = w / w.sum()
+        posterior = {tuple(sorted(h[0].items())): float(wk)
+                     for h, wk in zip(beam, w)}
+        return beam[0][1], beam[0][0], posterior
 
 
 class HybridSmoother:
@@ -159,7 +234,7 @@ class HybridSmoother:
             mode_combos = [{**c, var: m} for c in mode_combos
                            for m in range(n)]
 
-        cand = []
+        assigns, warms = [], []
         for assignment, values, _ in self.hypotheses:
             warm = values if values is not None else initial
             # merge: keep prior estimates, adopt initial for new variables
@@ -175,16 +250,16 @@ class HybridSmoother:
                         merged[g] = initial[g]
                 warm = Values(merged)
             for combo in mode_combos:
-                a = {**assignment, **combo}
-                res = optimizers.optimize_lm(self.graph.graph_at(a), warm,
-                                             self.params)
-                e = res.error
-                for v, m in a.items():
-                    if v in self.graph.discrete_priors:
-                        p = self.graph.discrete_priors[v][m]
-                        e = e - float(np.log(max(p, 1e-300)))
-                cand.append((a, res.values, e))
-        cand.sort(key=lambda t: t[2])
+                assigns.append({**assignment, **combo})
+                warms.append(warm)
+        # ALL surviving-hypothesis x new-mode candidates solve in one
+        # vmapped batch (identical graph structure, stacked measurements)
+        graphs = [self.graph.graph_at(a) for a in assigns]
+        values_list, errs = _solve_batch(graphs, warms, self.params)
+        cand = sorted(
+            [(a, vals, self.graph._prior_energy(a, e))
+             for a, vals, e in zip(assigns, values_list, errs)],
+            key=lambda t: t[2])
         self.hypotheses = cand[:self.max_leaves]
         return self.hypotheses[0]
 

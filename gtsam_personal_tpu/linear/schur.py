@@ -303,6 +303,36 @@ def make_plan(graph, counts, max_part_size=256) -> SchurPlan:
     return SchurPlan(graph, counts, part)
 
 
+def schur_values(lin, plan: SchurPlan):
+    """Assembly VALUES (fcat, rcat, scat, srcat) for the plan's flat-scatter
+    targets, in the fixed iteration order (batches -> slot pairs -> k-major).
+
+    One flat element scatter per destination array is the TPU-economic
+    assembly (per-call scatter overhead dominates many small scatters; see
+    SchurPlan "single-flat-scatter assembly plan"). Shared by the local
+    solver below and the sharded solver (parallel/dist_schur.py)."""
+    dtype = lin.batches[0].r.dtype
+    from gtsam_personal_tpu.linear import fm as _fm
+    if isinstance(lin, _fm.FMGraph):
+        return _fm.schur_values_fm(lin, plan)
+    fvals, rvals, svals, srvals = [], [], [], []
+    for b, bp in zip(lin.batches, plan.batch_plans):
+        nslots = len(b.groups)
+        fsel, ssel = bp["front_sel"], bp["sep_sel"]
+        Jf = [b.Js[s][fsel] for s in range(nslots)]
+        Js_ = [b.Js[s][ssel] for s in range(nslots)]
+        rf, rs = b.r[fsel], b.r[ssel]
+        for s in range(nslots):
+            rvals.append(-_einsum_hp("kij,ki->kj", Jf[s], rf).ravel())
+            srvals.append(-_einsum_hp("kij,ki->kj", Js_[s], rs).ravel())
+            for t in range(nslots):
+                fvals.append(_einsum_hp("kij,kil->kjl", Jf[s], Jf[t]).ravel())
+                svals.append(_einsum_hp("kij,kil->kjl", Js_[s], Js_[t]).ravel())
+    cat = lambda xs: (jnp.concatenate(xs) if xs
+                      else jnp.zeros((0,), dtype=dtype))
+    return cat(fvals), cat(rvals), cat(svals), cat(srvals)
+
+
 def solve_partitioned(lin, plan: SchurPlan, lam=0.0):
     """Exact (damped) normal-equations solve via two-level Schur elimination.
 
@@ -313,29 +343,7 @@ def solve_partitioned(lin, plan: SchurPlan, lam=0.0):
     dtype = lin.batches[0].r.dtype
     p, m, Dm, sdm, S = plan.p, plan.m, plan.D_max, plan.sd_max, plan.S_dim
 
-    # ---- assembly: one flat element scatter per destination array ----
-    # (TPU scatter economics: per-call overhead dominates many small scatters;
-    # see SchurPlan "single-flat-scatter assembly plan")
-    from gtsam_personal_tpu.linear import fm as _fm
-    if isinstance(lin, _fm.FMGraph):
-        fcat, rcat, scat_, srcat = _fm.schur_values_fm(lin, plan)
-    else:
-        fvals, rvals, svals, srvals = [], [], [], []
-        for b, bp in zip(lin.batches, plan.batch_plans):
-            nslots = len(b.groups)
-            fsel, ssel = bp["front_sel"], bp["sep_sel"]
-            Jf = [b.Js[s][fsel] for s in range(nslots)]
-            Js_ = [b.Js[s][ssel] for s in range(nslots)]
-            rf, rs = b.r[fsel], b.r[ssel]
-            for s in range(nslots):
-                rvals.append(-_einsum_hp("kij,ki->kj", Jf[s], rf).ravel())
-                srvals.append(-_einsum_hp("kij,ki->kj", Js_[s], rs).ravel())
-                for t in range(nslots):
-                    fvals.append(_einsum_hp("kij,kil->kjl", Jf[s], Jf[t]).ravel())
-                    svals.append(_einsum_hp("kij,kil->kjl", Js_[s], Js_[t]).ravel())
-        cat = lambda xs: (jnp.concatenate(xs) if xs
-                          else jnp.zeros((0,), dtype=dtype))
-        fcat, rcat, scat_, srcat = cat(fvals), cat(rvals), cat(svals), cat(srvals)
+    fcat, rcat, scat_, srcat = schur_values(lin, plan)
     Sfw = S + 1
     fronts = jnp.zeros((p * m * m,), dtype=dtype).at[plan.asm["fronts"]].add(
         fcat).reshape(p, m, m)

@@ -204,3 +204,65 @@ class TestHybridSmoother:
         assert ab == a
         np.testing.assert_allclose(np.asarray(v["se2"]), np.asarray(vb["se2"]),
                                    atol=1e-4)
+
+
+class TestHybridBeam:
+    """solve_beam: per-mode-variable elimination with in-elimination pruning
+    (reference: EliminateHybrid + prune, hybrid/HybridGaussianFactorGraph.h:106)."""
+
+    @staticmethod
+    def _chain_problem(n, mode_vars, rng_seed=3):
+        import jax.numpy as jnp
+        from gtsam_personal_tpu.core.graph import GraphBuilder, FactorBatch
+        from gtsam_personal_tpu.core.values import Values
+        from gtsam_personal_tpu.geometry import se2
+        from gtsam_personal_tpu.hybrid.hybrid import (HybridFactor,
+                                                      HybridFactorGraph)
+        from gtsam_personal_tpu.slam import factors as F
+
+        rng = np.random.default_rng(rng_seed)
+        truth = np.arange(n)[:, None] * np.array([1.0, 0.0, 0.0])
+        hg = HybridFactorGraph()
+        b = GraphBuilder()
+        F.add_prior(b, "se2", 0, truth[0], F.diag_noise([1e-3] * 3))
+        for i in range(n - 1):
+            F.add_between(b, "se2", i, i + 1, np.array([1.0, 0.0, 0.0]),
+                          F.diag_noise([0.05] * 3))
+        for batch in b.build(dtype=jnp.float64).batches:
+            hg.add_continuous(batch)
+        # each mode var: an ambiguous unary prior on pose i (mode 0 = inlier)
+        true_modes = {}
+        for k in range(mode_vars):
+            i = 1 + (k % (n - 1))
+            good = truth[i] + rng.normal(0, 0.02, 3)
+            bad = truth[i] + np.array([4.0, 2.0, 1.0])
+            gb = GraphBuilder()
+            F.add_prior(gb, "se2", i, good, F.diag_noise([0.1] * 3))
+            base = gb.build(dtype=jnp.float64).batches[0]
+            meas = np.stack([good, bad]) if k % 2 == 0 else np.stack([bad, good])
+            batch = FactorBatch(base.name, base.residual_fn, base.groups, 3,
+                                base.idx,
+                                {"prior": jnp.asarray(meas)[:, None]},
+                                base.noise)
+            hg.add_hybrid(HybridFactor(batch, mode_var=200 + k, num_modes=2))
+            true_modes[200 + k] = 0 if k % 2 == 0 else 1
+        initial = Values({"se2": jnp.asarray(
+            truth + rng.normal(0, 0.05, truth.shape))})
+        return hg, initial, truth, true_modes
+
+    def test_beam_matches_exact_small(self):
+        hg, initial, _, true_modes = self._chain_problem(4, 3)
+        v_ex, a_ex, _ = hg.solve(initial)
+        v_bm, a_bm, _ = hg.solve_beam(initial, max_leaves=8)
+        assert a_ex == a_bm == true_modes
+        np.testing.assert_allclose(np.asarray(v_bm["se2"]),
+                                   np.asarray(v_ex["se2"]), atol=1e-5)
+
+    def test_beam_many_mode_vars_bounded(self):
+        """12 mode variables: 4096 joint assignments, but the beam touches at
+        most #vars * leaves * card = 12*4*2 = 96 continuous solves."""
+        hg, initial, truth, true_modes = self._chain_problem(6, 12)
+        v, a, post = hg.solve_beam(initial, max_leaves=4)
+        assert a == true_modes
+        np.testing.assert_allclose(np.asarray(v["se2"])[:, :2],
+                                   truth[:, :2], atol=0.1)
