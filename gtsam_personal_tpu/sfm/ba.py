@@ -163,6 +163,36 @@ def _segsum(x, ids, n):
     return jax.ops.segment_sum(x, ids, num_segments=n)
 
 
+def pcg(matvec, b, precond, maxiter, tol):
+    """Preconditioned CG on an arbitrary array shape (vdot over all elements).
+    Shared by every BA solver variant (obs-major, feature-major, cam-major,
+    bucketed). Guards: alpha=0 on non-positive curvature, safe divisions."""
+    x0 = jnp.zeros_like(b)
+    z0 = precond(b)
+    rz0 = jnp.vdot(b, z0)
+    thr = (tol ** 2) * jnp.vdot(b, b)
+
+    def cond(s):
+        k, x, rr, z, p, rz = s
+        return jnp.logical_and(k < maxiter, jnp.vdot(rr, rr) > thr)
+
+    def body(s):
+        k, x, rr, z, p, rz = s
+        Ap = matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        rr = rr - alpha * Ap
+        z = precond(rr)
+        rz_new = jnp.vdot(rr, z)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        p = z + beta * p
+        return k + 1, x, rr, z, p, rz_new
+
+    _, x, *_ = jax.lax.while_loop(cond, body, (0, x0, b, z0, z0, rz0))
+    return x
+
+
 def solve_ba_step(state: BAState, obs: BAObservations, layout, lam,
                   cg_maxiter=100, cg_tol=1e-6):
     """One damped GN step: implicit-Schur PCG on cameras + landmark backsub,
@@ -225,32 +255,7 @@ def solve_ba_step(state: BAState, obs: BAObservations, layout, lam,
     cho_apply = jax.vmap(lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
     precond = lambda x: cho_apply(Ls, x)
 
-    # PCG over [C, 9]
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = precond(r0)
-    p0 = z0
-    rz0 = jnp.vdot(r0, z0)
-    thr = (cg_tol ** 2) * jnp.vdot(b, b)
-
-    def cond(s):
-        k, x, rr, z, p, rz = s
-        return jnp.logical_and(k < cg_maxiter, jnp.vdot(rr, rr) > thr)
-
-    def body(s):
-        k, x, rr, z, p, rz = s
-        Ap = schur_matvec(p)
-        pAp = jnp.vdot(p, Ap)
-        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
-        x = x + alpha * p
-        rr = rr - alpha * Ap
-        z = precond(rr)
-        rz_new = jnp.vdot(rr, z)
-        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
-        p = z + beta * p
-        return k + 1, x, rr, z, p, rz_new
-
-    _, xc, *_ = jax.lax.while_loop(cond, body, (0, x0, r0, z0, p0, rz0))
+    xc = pcg(schur_matvec, b, precond, cg_maxiter, cg_tol)
 
     # landmark back-substitution: xp = Hpp^{-1} (-gp - W^T xc)
     a = es("cqij,cj->cqi", Jc_cm, xc)
@@ -353,31 +358,7 @@ def solve_ba_step_fm(state: BAState, obs: BAObservations, layout, lam,
     cho_apply = jax.vmap(lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
     precond = lambda x: cho_apply(Ls, x.T).T            # x [9, C]
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = precond(r0)
-    p0 = z0
-    rz0 = jnp.vdot(r0, z0)
-    thr = (cg_tol ** 2) * jnp.vdot(b, b)
-
-    def cond(s):
-        k, x, rr, z, p, rz = s
-        return jnp.logical_and(k < cg_maxiter, jnp.vdot(rr, rr) > thr)
-
-    def body(s):
-        k, x, rr, z, p, rz = s
-        Ap = schur_matvec(p)
-        pAp = jnp.vdot(p, Ap)
-        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
-        x = x + alpha * p
-        rr = rr - alpha * Ap
-        z = precond(rr)
-        rz_new = jnp.vdot(rr, z)
-        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
-        p = z + beta * p
-        return k + 1, x, rr, z, p, rz_new
-
-    _, xc, *_ = jax.lax.while_loop(cond, body, (0, x0, r0, z0, p0, rz0))
+    xc = pcg(schur_matvec, b, precond, cg_maxiter, cg_tol)
 
     t = pt_reduce(cam_to_point(cam_apply(xc)))
     xp = bk.sym33_matvec_T(HppInv, -gp - t)
@@ -513,31 +494,7 @@ def solve_ba_step_cm(state: BAState, obs: BAObservations, layout, lam,
     cho_apply = jax.vmap(lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
     precond = lambda x: cho_apply(Ls, x.T).T            # x [9, C]
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = precond(r0)
-    p0 = z0
-    rz0 = jnp.vdot(r0, z0)
-    thr = (cg_tol ** 2) * jnp.vdot(b, b)
-
-    def cond(s):
-        k, x, rr, z, pp, rz = s
-        return jnp.logical_and(k < cg_maxiter, jnp.vdot(rr, rr) > thr)
-
-    def body(s):
-        k, x, rr, z, pp, rz = s
-        Ap = schur_matvec(pp)
-        pAp = jnp.vdot(pp, Ap)
-        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
-        x = x + alpha * pp
-        rr = rr - alpha * Ap
-        z = precond(rr)
-        rz_new = jnp.vdot(rr, z)
-        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
-        pp = z + beta * pp
-        return k + 1, x, rr, z, pp, rz_new
-
-    _, xc, *_ = jax.lax.while_loop(cond, body, (0, x0, r0, z0, p0, rz0))
+    xc = pcg(schur_matvec, b, precond, cg_maxiter, cg_tol)
 
     t = pt_reduce(cam_to_point(cam_apply(xc)))
     xp = bk.sym33_matvec_T(HppInv, -gp - t)

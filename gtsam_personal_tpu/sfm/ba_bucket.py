@@ -1,0 +1,438 @@
+"""Bucketed dual-layout bundle adjustment: skew-robust cam/point rectangles.
+
+The single-rectangle cam-major layout (sfm/ba_layout.py) pads every camera to
+the GLOBAL max per-camera observation count Q. Real BAL problems are heavily
+skewed (power-law track lengths, Zipf-ish camera popularity — reference data:
+gtsam/sfm/SfmData.h:61 loaders); measured on a Ladybug-1723-scale synthetic
+with realistic skew (sfm/synthetic.py:make_skewed_problem) the global-max
+padding wastes 116x on the camera side and 11.8x on the point side.
+
+The fix stays inside the measured TPU playbook (PERFORMANCE.md: no scatters,
+no per-observation gathers of camera data): group cameras by live observation
+count into a handful of width classes and give each class its own dense
+rectangle [C_b, Q_b] padded only to the class max. Every camera lives in
+exactly ONE bucket row, so all per-camera reductions stay dense sums over the
+bucket's Q_b axis — no cross-bucket aggregation, no segment_sum. Points get
+the identical treatment with [T_b, P_b] feature-major rectangles.
+
+Inside the solver, cameras and points are kept in *sorted* (bucket-
+concatenated) order so each bucket is a contiguous slice of the global
+[9, C] / [3, P] vectors; the only order conversions are one [C]-row and one
+[P]-row gather at entry (camera/point parameter tables) and exit (delta
+vectors) — permutation-gather class, ~2.5 ns/element.
+
+The cam<->point relayout inside the CG matvec remains ONE fixed permutation
+over the concatenated flat slot spaces, exactly as in the uniform layout.
+
+Buckets are chosen by binning live counts into power-of-two classes, setting
+each rectangle's width to the class MAX (not the power of two), and greedily
+merging the cheapest adjacent classes until at most `max_buckets` remain
+(cost model includes the (8,128) tile rounding of tiny C_b).
+
+Same math as sfm/ba.py:solve_ba_step_cm (reference algebra:
+slam/RegularImplicitSchurFactor.h — y += F'(I - E P E') F x, lifted whole-
+problem); exact-match tested against it in tests/test_ba_bucket.py.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gtsam_personal_tpu.geometry import se3, cameras as cam_geo
+from gtsam_personal_tpu.sfm import ba_kernels as bk
+from gtsam_personal_tpu.sfm.ba import (BAState, BAObservations,
+                                       _residual_local, _residual_one, pcg)
+
+
+def _plan_buckets(counts_sorted_desc: np.ndarray, max_buckets: int):
+    """Split the descending count vector into <= max_buckets contiguous
+    groups; returns list of (start, end, width). Width = group max count.
+    Greedy merge of adjacent power-of-two classes minimizing padded slots
+    (with C rounded up to the 8-row tile)."""
+    n = len(counts_sorted_desc)
+    if n == 0:
+        return []
+    # initial classes: power-of-two bins of the count
+    bounds = [0]
+    cur = 1 << max(int(np.ceil(np.log2(max(counts_sorted_desc[0], 1)))), 0)
+    for i in range(1, n):
+        c = max(int(counts_sorted_desc[i]), 1)
+        while cur > 1 and c <= cur // 2:
+            cur //= 2
+            bounds.append(i)
+    bounds.append(n)
+    bounds = sorted(set(bounds))
+
+    def cost(s, e):
+        cb = e - s
+        return int(np.ceil(cb / 8)) * 8 * int(max(counts_sorted_desc[s], 1))
+
+    while len(bounds) - 1 > max_buckets:
+        best, besti = None, None
+        for i in range(1, len(bounds) - 1):
+            merged = cost(bounds[i - 1], bounds[i + 1])
+            sep = cost(bounds[i - 1], bounds[i]) + cost(bounds[i], bounds[i + 1])
+            d = merged - sep
+            if best is None or d < best:
+                best, besti = d, i
+        bounds.pop(besti)
+    return [(bounds[i], bounds[i + 1],
+             int(max(counts_sorted_desc[bounds[i]], 1)))
+            for i in range(len(bounds) - 1)]
+
+
+@jax.tree_util.register_pytree_node_class
+class BucketLayout:
+    """Static bucketed index plan. All list fields have one entry per bucket.
+
+    Camera side (buckets over sorted-desc per-camera counts):
+      cam_ids[b]   [C_b]      original camera id per sorted row
+      g_cam[b]     [C_b*Q_b]  obs index per slot (M = dead)
+      cam_mask[b]  [C_b*Q_b]  1.0 for live slots
+      pt_srt_cm[b] [C_b*Q_b]  SORTED point position per slot (P = dead)
+    Point side:
+      pt_ids[b]    [P_b]      original point id per sorted position
+      p2c_tp[b]    [T_b, P_b] flat cam slot position (CQ_total = dead)
+      c2p_tp[b]    [C_b*Q_b]  flat point slot position (PT_total = dead)
+    Order conversion:
+      cam_sorted2orig [C], cam_orig2sorted [C], pt_sorted2orig [P],
+      pt_orig2sorted [P].
+    """
+
+    def __init__(self, C, P, M, cam_shapes, pt_shapes, cam_ids, g_cam,
+                 cam_mask, pt_srt_cm, pt_ids, p2c_tp, c2p_tp,
+                 cam_sorted2orig, cam_orig2sorted, pt_sorted2orig,
+                 pt_orig2sorted):
+        self.C, self.P, self.M = C, P, M
+        self.cam_shapes = tuple(cam_shapes)   # ((C_b, Q_b), ...)
+        self.pt_shapes = tuple(pt_shapes)     # ((P_b, T_b), ...)
+        self.cam_ids = cam_ids
+        self.g_cam = g_cam
+        self.cam_mask = cam_mask
+        self.pt_srt_cm = pt_srt_cm
+        self.pt_ids = pt_ids
+        self.p2c_tp = p2c_tp
+        self.c2p_tp = c2p_tp
+        self.cam_sorted2orig = cam_sorted2orig
+        self.cam_orig2sorted = cam_orig2sorted
+        self.pt_sorted2orig = pt_sorted2orig
+        self.pt_orig2sorted = pt_orig2sorted
+
+    @property
+    def CQ_total(self):
+        return sum(cb * qb for cb, qb in self.cam_shapes)
+
+    @property
+    def PT_total(self):
+        return sum(pb * tb for pb, tb in self.pt_shapes)
+
+    def padding_waste(self):
+        """(cam_slots/M, point_slots/M) — the honesty metric."""
+        return self.CQ_total / self.M, self.PT_total / self.M
+
+    def tree_flatten(self):
+        arrs = (self.cam_ids, self.g_cam, self.cam_mask, self.pt_srt_cm,
+                self.pt_ids, self.p2c_tp, self.c2p_tp, self.cam_sorted2orig,
+                self.cam_orig2sorted, self.pt_sorted2orig, self.pt_orig2sorted)
+        return arrs, (self.C, self.P, self.M, self.cam_shapes, self.pt_shapes)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+    @staticmethod
+    def build(obs_cam, obs_point, C, P, max_cam_buckets=6, max_pt_buckets=4,
+              dtype=np.float32):
+        cam = np.asarray(obs_cam, dtype=np.int64)
+        pt = np.asarray(obs_point, dtype=np.int64)
+        M = cam.shape[0]
+
+        def side(ids, n, max_b):
+            cnt = np.bincount(ids, minlength=n)
+            order = np.argsort(-cnt, kind="stable")   # sorted2orig
+            inv = np.empty(n, dtype=np.int64)
+            inv[order] = np.arange(n)                 # orig2sorted
+            plan = _plan_buckets(cnt[order], max_b)
+            # per-obs slot within its entity (stable, order of appearance)
+            srt = inv[ids]
+            o = np.argsort(srt, kind="stable")
+            ofs = np.zeros(n + 1, dtype=np.int64)
+            ofs[1:] = np.cumsum(cnt[order])
+            pos = np.empty(M, dtype=np.int64)
+            pos[o] = np.arange(M) - ofs[srt[o]]
+            return cnt, order, inv, plan, srt, pos
+
+        ccnt, corder, cinv, cplan, csrt, cpos = side(cam, C, max_cam_buckets)
+        pcnt, porder, pinv, pplan, psrt, ppos = side(pt, P, max_pt_buckets)
+
+        cam_shapes = [(e - s, w) for s, e, w in cplan]
+        pt_shapes = [(e - s, w) for s, e, w in pplan]
+
+        # flat slot position of each obs in the concatenated cam space
+        cofs = np.cumsum([0] + [cb * qb for cb, qb in cam_shapes])
+        CQ_total = int(cofs[-1])
+        cbin = np.zeros(C, dtype=np.int64)   # bucket of each sorted cam pos
+        cstart = np.zeros(C, dtype=np.int64)
+        for b, (s, e, w) in enumerate(cplan):
+            cbin[s:e] = b
+            cstart[s:e] = s
+        ob_b = cbin[csrt]
+        cam_flat = (cofs[ob_b] + (csrt - cstart[csrt])
+                    * np.array([w for _, _, w in cplan])[ob_b] + cpos)
+
+        pofs = np.cumsum([0] + [pb * tb for pb, tb in pt_shapes])
+        PT_total = int(pofs[-1])
+        pbin = np.zeros(P, dtype=np.int64)
+        pstart = np.zeros(P, dtype=np.int64)
+        for b, (s, e, w) in enumerate(pplan):
+            pbin[s:e] = b
+            pstart[s:e] = s
+        ob_pb = pbin[psrt]
+        # point rectangles are [T_b, P_b] (feature-major): slot (t, p_local)
+        # -> pofs + t * P_b + p_local
+        Pb_of = np.array([pb for pb, _ in pt_shapes])[ob_pb]
+        pt_flat = pofs[ob_pb] + ppos * Pb_of + (psrt - pstart[psrt])
+
+        j = jnp.asarray
+        cam_ids, g_cam, cam_mask, pt_srt_cm, c2p_tp = [], [], [], [], []
+        for b, (s, e, w) in enumerate(cplan):
+            cb = e - s
+            sel = ob_b == b
+            slot_local = ((csrt[sel] - s) * w + cpos[sel])
+            g = np.full(cb * w, M, dtype=np.int64)
+            g[slot_local] = np.nonzero(sel)[0]
+            mask = np.zeros(cb * w, dtype=dtype)
+            mask[slot_local] = 1.0
+            psc = np.full(cb * w, P, dtype=np.int64)
+            psc[slot_local] = psrt[sel]
+            cp = np.full(cb * w, PT_total, dtype=np.int64)
+            cp[slot_local] = pt_flat[sel]
+            cam_ids.append(j(corder[s:e].astype(np.int32)))
+            g_cam.append(j(g))
+            cam_mask.append(j(mask))
+            pt_srt_cm.append(j(psc))
+            c2p_tp.append(j(cp))
+
+        pt_ids, p2c_tp = [], []
+        for b, (s, e, w) in enumerate(pplan):
+            pb = e - s
+            sel = ob_pb == b
+            slot_local = ppos[sel] * pb + (psrt[sel] - s)
+            pc = np.full(w * pb, CQ_total, dtype=np.int64)
+            pc[slot_local] = cam_flat[sel]
+            pt_ids.append(j(porder[s:e].astype(np.int32)))
+            p2c_tp.append(j(pc.reshape(w, pb)))
+
+        return BucketLayout(
+            C, P, M, cam_shapes, pt_shapes, tuple(cam_ids), tuple(g_cam),
+            tuple(cam_mask), tuple(pt_srt_cm), tuple(pt_ids), tuple(p2c_tp),
+            tuple(c2p_tp), j(corder.astype(np.int32)),
+            j(cinv.astype(np.int32)), j(porder.astype(np.int32)),
+            j(pinv.astype(np.int32)))
+
+
+# ---------------------------------------------------------------------------
+# solver over the bucketed layout (math == sfm/ba.py:solve_ba_step_cm)
+# ---------------------------------------------------------------------------
+
+def linearize_ba_bl(state: BAState, obs: BAObservations, bl: BucketLayout):
+    """Per-bucket cam-major linearization. Returns lists (per cam bucket) of
+    r [2, C_b, Q_b], Jc [2, 9, C_b, Q_b], Jp [2, 3, C_b, Q_b]. Camera data is
+    broadcast-tiled per bucket and the vmap runs FLAT over C_b*Q_b — see the
+    TPU nested-vmap corruption note in sfm/ba.py:linearize_ba_cm."""
+    dtype = state.points.dtype
+    pts_sorted = state.points[bl.pt_sorted2orig]         # [P, 3] sorted order
+    pts_pad = jnp.concatenate([pts_sorted.T,
+                               jnp.zeros((3, 1), dtype=dtype)], axis=1)
+    uv_pad = jnp.concatenate([obs.uv.T, jnp.zeros((2, 1), dtype=dtype)], axis=1)
+    zeros = (jnp.zeros(9, dtype=dtype), jnp.zeros(3, dtype=dtype))
+
+    def one(pose, cal, point, uv):
+        r = _residual_local(zeros, pose, cal, point, uv)
+        Jc, Jp = jax.jacfwd(_residual_local, argnums=0)(zeros, pose, cal,
+                                                        point, uv)
+        depth = cam_geo.depth_of(pose, point)
+        return r, Jc, Jp, depth
+
+    outs = []
+    for b, (cb, qb) in enumerate(bl.cam_shapes):
+        cq = cb * qb
+        posesT = jnp.broadcast_to(
+            state.cam_poses.transpose(1, 2, 0)[:, :, bl.cam_ids[b]][:, :, :, None],
+            (3, 4, cb, qb)).reshape(3, 4, cq)
+        calsT = jnp.broadcast_to(
+            state.cam_cals.T[:, bl.cam_ids[b]][:, :, None],
+            (3, cb, qb)).reshape(3, cq)
+        pts_cm = pts_pad[:, bl.pt_srt_cm[b]]
+        uv_cm = uv_pad[:, bl.g_cam[b]]
+        r, Jc, Jp, depth = jax.vmap(one, in_axes=(-1, -1, -1, -1),
+                                    out_axes=(-1, -1, -1, -1))(
+            posesT, calsT, pts_cm, uv_cm)
+        w = (depth > 1e-6).astype(dtype) * bl.cam_mask[b]
+        outs.append(((r * w).reshape(2, cb, qb),
+                     (Jc * w).reshape(2, 9, cb, qb),
+                     (Jp * w).reshape(2, 3, cb, qb)))
+    return outs
+
+
+def ba_error_bl(state: BAState, obs: BAObservations, bl: BucketLayout):
+    dtype = state.points.dtype
+    pts_sorted = state.points[bl.pt_sorted2orig]
+    pts_pad = jnp.concatenate([pts_sorted.T,
+                               jnp.zeros((3, 1), dtype=dtype)], axis=1)
+    uv_pad = jnp.concatenate([obs.uv.T, jnp.zeros((2, 1), dtype=dtype)], axis=1)
+
+    def one(pose, cal, point, uv):
+        return _residual_one(pose, cal, point, uv), cam_geo.depth_of(pose, point)
+
+    total = jnp.zeros((), dtype=dtype)
+    for b, (cb, qb) in enumerate(bl.cam_shapes):
+        cq = cb * qb
+        posesT = jnp.broadcast_to(
+            state.cam_poses.transpose(1, 2, 0)[:, :, bl.cam_ids[b]][:, :, :, None],
+            (3, 4, cb, qb)).reshape(3, 4, cq)
+        calsT = jnp.broadcast_to(
+            state.cam_cals.T[:, bl.cam_ids[b]][:, :, None],
+            (3, cb, qb)).reshape(3, cq)
+        r, depth = jax.vmap(one, in_axes=(-1, -1, -1, -1), out_axes=(-1, -1))(
+            posesT, calsT, pts_pad[:, bl.pt_srt_cm[b]], uv_pad[:, bl.g_cam[b]])
+        w = (depth > 1e-6).astype(dtype) * bl.cam_mask[b]
+        r = r * w
+        total = total + 0.5 * jnp.sum(r * r)
+    return total
+
+
+def solve_ba_step_bl(state: BAState, obs: BAObservations, bl: BucketLayout,
+                     lam, cg_maxiter=100, cg_tol=1e-6):
+    """Implicit-Schur PCG step over the bucketed layout. Global vectors are
+    SORTED order internally; returns (delta_cam [C, 9], delta_point [P, 3])
+    in ORIGINAL order."""
+    C, P = bl.C, bl.P
+    dtype = state.points.dtype
+    lin = linearize_ba_bl(state, obs, bl)
+    Jc_b = [t[1] for t in lin]                            # [2,9,C_b,Q_b]
+    r_b = [t[0] for t in lin]                             # [2,C_b,Q_b]
+    Jp_cm_b = [t[2] for t in lin]                         # [2,3,C_b,Q_b]
+    coffs = np.cumsum([0] + [cb for cb, _ in bl.cam_shapes])
+    poffs = np.cumsum([0] + [pb for pb, _ in bl.pt_shapes])
+
+    def cam_to_point(xs):
+        """list per cam bucket of [k, C_b, Q_b] -> list per point bucket of
+        [k, T_b, P_b] via the fixed flat permutation."""
+        k = xs[0].shape[0]
+        flat = jnp.concatenate(
+            [x.reshape(k, -1) for x in xs] + [jnp.zeros((k, 1), dtype=dtype)],
+            axis=1)
+        return [flat[:, bl.p2c_tp[b]] for b in range(len(bl.pt_shapes))]
+
+    def point_to_cam(xs):
+        k = xs[0].shape[0]
+        flat = jnp.concatenate(
+            [x.reshape(k, -1) for x in xs] + [jnp.zeros((k, 1), dtype=dtype)],
+            axis=1)
+        return [flat[:, bl.c2p_tp[b]].reshape(k, cb, qb)
+                for b, (cb, qb) in enumerate(bl.cam_shapes)]
+
+    # point-major copies of the point-side quantities (one permutation)
+    pm = cam_to_point([jnp.concatenate([Jp.reshape(6, cb, qb), r], axis=0)
+                       for Jp, r, (cb, qb)
+                       in zip(Jp_cm_b, r_b, bl.cam_shapes)])
+    Jp4_b = [x[:6].reshape(2, 3, *x.shape[1:]) for x in pm]  # [2,3,T_b,P_b]
+    r_pm_b = [x[6:] for x in pm]                             # [2,T_b,P_b]
+
+    def cam_apply(x):                                     # [9, C] -> buckets
+        return [jnp.stack([
+            sum(Jc[i, j] * x[j, coffs[b]:coffs[b + 1]][:, None]
+                for j in range(9)) for i in range(2)])
+            for b, Jc in enumerate(Jc_b)]
+
+    def cam_reduce(us):                                   # buckets -> [9, C]
+        return jnp.concatenate([jnp.stack([
+            sum(jnp.sum(Jc[i, j] * u[i], axis=-1) for i in range(2))
+            for j in range(9)]) for Jc, u in zip(Jc_b, us)], axis=1)
+
+    def pt_reduce(aps):                                   # buckets -> [3, P]
+        return jnp.concatenate([jnp.stack([
+            sum(jnp.sum(Jp[i, k] * ap[i], axis=0) for i in range(2))
+            for k in range(3)]) for Jp, ap in zip(Jp4_b, aps)], axis=1)
+
+    def pt_apply(u):                                      # [3, P] -> buckets
+        return [jnp.stack([
+            sum(Jp[i, k] * u[k, poffs[b]:poffs[b + 1]][None, :]
+                for k in range(3)) for i in range(2)])
+            for b, Jp in enumerate(Jp4_b)]
+
+    Hpp = jnp.concatenate([jnp.stack([
+        sum(jnp.sum(Jp[i, k] * Jp[i, l], axis=0) for i in range(2))
+        for k in range(3) for l in range(3)]) for Jp in Jp4_b], axis=1)
+    Hpp = bk.add_scaled_identity_33_T(Hpp, lam + 1e-10)
+    HppInv = bk.sym33_inv_T(Hpp)                          # [9, P] sorted
+
+    gc = cam_reduce(r_b)                                  # [9, C] sorted
+    gp = pt_reduce(r_pm_b)                                # [3, P] sorted
+
+    hp = bk.sym33_matvec_T(HppInv, gp)
+    b_rhs = -gc + cam_reduce(point_to_cam(pt_apply(hp)))
+
+    def schur_matvec(x):
+        a = cam_apply(x)
+        t = pt_reduce(cam_to_point(a))
+        u = bk.sym33_matvec_T(HppInv, t)
+        bc = point_to_cam(pt_apply(u))
+        y = cam_reduce([ab - bcb for ab, bcb in zip(a, bc)])
+        return y + lam * x
+
+    # block-Jacobi preconditioner of S per camera (dense over each Q_b)
+    HppInv_pad = jnp.concatenate([HppInv,
+                                  jnp.zeros((9, 1), dtype=dtype)], axis=1)
+    Hcc_parts, Gc_parts = [], []
+    for bidx, ((cb, qb), Jc, Jp_cm) in enumerate(
+            zip(bl.cam_shapes, Jc_b, Jp_cm_b)):
+        Hcc_parts.append(jnp.stack([
+            sum(jnp.sum(Jc[i, j] * Jc[i, k], axis=-1) for i in range(2))
+            for j in range(9) for k in range(9)]).T.reshape(cb, 9, 9))
+        Wt = [sum(Jc[i, a] * Jp_cm[i, bb] for i in range(2))
+              for a in range(9) for bb in range(3)]       # 27 x [C_b, Q_b]
+        Hi = HppInv_pad[:, bl.pt_srt_cm[bidx]].reshape(9, cb, qb)
+        T1 = [sum(Wt[3 * a + bb] * Hi[3 * bb + c] for bb in range(3))
+              for a in range(9) for c in range(3)]
+        Gc_parts.append(jnp.stack([
+            sum(jnp.sum(T1[3 * a + c] * Wt[3 * d + c], axis=-1)
+                for c in range(3))
+            for a in range(9) for d in range(9)]).T.reshape(cb, 9, 9))
+    Hcc = jnp.concatenate(Hcc_parts)
+    Gc = jnp.concatenate(Gc_parts)
+    eye9 = jnp.eye(9, dtype=dtype)
+    Ls = jnp.linalg.cholesky(Hcc - Gc + (lam + 1e-8) * eye9)
+    cho_apply = jax.vmap(lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
+    precond = lambda x: cho_apply(Ls, x.T).T              # x [9, C]
+
+    xc = pcg(schur_matvec, b_rhs, precond, cg_maxiter, cg_tol)
+
+    t = pt_reduce(cam_to_point(cam_apply(xc)))
+    xp = bk.sym33_matvec_T(HppInv, -gp - t)               # [3, P] sorted
+    # back to original order (permutation gathers)
+    xc_orig = xc.T[bl.cam_orig2sorted]                    # [C, 9]
+    xp_orig = xp.T[bl.pt_orig2sorted]                     # [P, 3]
+    return xc_orig, xp_orig
+
+
+def retract_ba(state: BAState, xc, xp) -> BAState:
+    new_poses = jax.vmap(se3.retract)(state.cam_poses, xc[:, :6])
+    return BAState(new_poses, state.cam_cals + xc[:, 6:9], state.points + xp)
+
+
+@partial(jax.jit, static_argnames=("cg_maxiter",))
+def ba_try_step_bl(state: BAState, obs: BAObservations, bl: BucketLayout,
+                   lam, cg_maxiter=100):
+    xc, xp = solve_ba_step_bl(state, obs, bl, lam, cg_maxiter=cg_maxiter)
+    new_state = retract_ba(state, xc, xp)
+    return new_state, ba_error_bl(new_state, obs, bl)
+
+
+def make_bucket_layout(obs: BAObservations, C: int, P: int, **kw):
+    return BucketLayout.build(np.asarray(obs.cam), np.asarray(obs.point),
+                              C, P, **kw)
