@@ -7,9 +7,14 @@ history; synchronization exchanges summarized information.
 
 TPU-native rendering: the filter is the fixed-lag smoother (short window,
 cheap updates); the smoother is a periodic full batch LM over all accumulated
-factors. `synchronize()` pushes smoothed estimates back into the filter's
-current window (the filter's marginal priors stay anchored at its own
-linearization, keeping updates consistent)."""
+factors (it owns ALL raw factors, so no filter->smoother summarization is
+needed — it strictly dominates the reference's exchanged filter summary).
+`synchronize()` performs the smoother->filter exchange: the filter's
+accumulated boundary marginal prior is REPLACED by the smoother posterior's
+joint marginal information on the same boundary variables (anchored at the
+smoothed estimates), and smoothed estimates are pushed into the window — the
+analogue of ConcurrentBatchSmoother::getSummarizedFactors feeding
+ConcurrentBatchFilter (gtsam_unstable/nonlinear/ConcurrentBatchSmoother.h)."""
 
 from typing import Dict, List, Optional, Tuple
 
@@ -63,11 +68,32 @@ class ConcurrentFilterSmoother:
         return self.smoother_result
 
     def synchronize(self):
-        """Push smoothed estimates into the filter (reference:
-        synchronization step exchanging summarized factors)."""
+        """Smoother->filter summarized-factor exchange + estimate push
+        (reference: ConcurrentFilteringAndSmoothing synchronization)."""
         if self.smoother_result is None:
             return
         sm = self.smoother_result.values
+
+        # 1. replace the filter's accumulated marginal prior with the
+        # smoother posterior's joint marginal on the same boundary slots
+        boundary: List[Tuple[str, int]] = []
+        kept: List[FactorBatch] = []
+        for b in self.filter.batches:
+            if b.name.startswith("marginal_"):
+                idx = np.asarray(b.idx)
+                for k in range(idx.shape[0]):
+                    for s, g in enumerate(b.groups):
+                        key = (g, int(idx[k, s]))
+                        if key not in boundary:
+                            boundary.append(key)
+            else:
+                kept.append(b)
+        if boundary:
+            summary = _smoother_summary(
+                FactorGraph(self.all_batches), sm, boundary)
+            self.filter.batches = kept + [summary]
+
+        # 2. push smoothed estimates into the filter window
         blocks = dict(self.filter.values.blocks)
         for g, arr in sm.blocks.items():
             if g in blocks:
@@ -79,5 +105,44 @@ class ConcurrentFilterSmoother:
     def filtered_estimate(self) -> Values:
         return self.filter.estimate()
 
+    def smoother_summary_on(self, boundary: List[Tuple[str, int]]):
+        """The smoother's summarized factor on arbitrary boundary slots
+        (reference: ConcurrentBatchSmoother::getSummarizedFactors)."""
+        if self.smoother_result is None:
+            return None
+        return _smoother_summary(FactorGraph(self.all_batches),
+                                 self.smoother_result.values, boundary)
+
     def smoothed_estimate(self) -> Optional[Values]:
         return None if self.smoother_result is None else self.smoother_result.values
+
+
+def _smoother_summary(graph: FactorGraph, values: Values,
+                      boundary: List[Tuple[str, int]]) -> FactorBatch:
+    """Dense Gaussian factor equal to the smoother posterior's joint marginal
+    information on `boundary`, anchored at the smoothed estimates (r0 = 0:
+    the smoothed estimate IS the marginal mode)."""
+    from gtsam_personal_tpu.core import manifolds
+    from gtsam_personal_tpu.linear.marginal import make_marginal_residual
+    from gtsam_personal_tpu.linear.noise import NoiseModel
+    from gtsam_personal_tpu.nonlinear.marginals import Marginals
+
+    cov = np.asarray(Marginals(graph, values, damping=1e-9)
+                     .joint_marginal_covariance(boundary))
+    Lam = np.linalg.inv(0.5 * (cov + cov.T))
+    Lam = 0.5 * (Lam + Lam.T)
+    w, V = np.linalg.eigh(Lam)
+    w = np.clip(w, 1e-12, None)
+    S = np.diag(np.sqrt(w)) @ V.T           # S^T S = Lam
+    groups = tuple(g for g, _ in boundary)
+    dtype = np.asarray(values[groups[0]]).dtype
+    meas = {"sqrt_info": jnp.asarray(S[None], dtype=dtype),
+            "r0": jnp.zeros((1, S.shape[0]), dtype=dtype)}
+    for s, (g, i) in enumerate(boundary):
+        meas[f"anchor{s}"] = jnp.asarray(
+            np.asarray(values[g][i])[None], dtype=dtype)
+    return FactorBatch(
+        "marginal_" + "_".join(groups), make_marginal_residual(groups),
+        groups, S.shape[0],
+        jnp.asarray(np.array([[i for _, i in boundary]], dtype=np.int32)),
+        meas, NoiseModel("unit"))

@@ -52,6 +52,11 @@ class Params:
     diagonal_damping: bool = False
     max_inner_tries: int = 10
     verbose: bool = False
+    # on optimizer failure (non-finite error / lambda escalation exhausted),
+    # run linear/diagnostics.py and print which factor rows are non-finite /
+    # which variables are singular (reference analogue:
+    # IndeterminantLinearSystemException naming the key, linearExceptions.h)
+    diagnose_on_failure: bool = True
     # reference: NonlinearOptimizerParams::iterationHook(iter, errBefore,
     # errAfter), called after every accepted iteration
     # (NonlinearOptimizer.cpp:99). Callable, excluded from hashing/jit keys.
@@ -131,6 +136,20 @@ def graph_error(graph: FactorGraph, values: Values):
     return graph.error(values)
 
 
+def _maybe_diagnose(graph, values, params: Params):
+    """On failure, name non-finite factor rows / singular variables
+    (reference: IndeterminantLinearSystemException, linearExceptions.h)."""
+    if not params.diagnose_on_failure:
+        return
+    try:
+        from gtsam_personal_tpu.linear.diagnostics import diagnose
+        rep = diagnose(graph, values)
+        if not rep.ok:
+            print(rep)
+    except Exception as e:  # diagnosis must never mask the original failure
+        print(f"(diagnosis failed: {e})")
+
+
 @dataclass
 class Result:
     values: Values
@@ -151,6 +170,7 @@ def optimize_gn(graph: FactorGraph, values: Values, params: Params = Params(),
         if params.verbose:
             print(f"GN iter {it}: error {err:.6g} -> {new_err:.6g}")
         if not jnp.isfinite(new_err):
+            _maybe_diagnose(graph, values, params)
             return Result(values, err, it, False)
         converged = check_convergence(params, err, new_err)
         if new_err <= err:
@@ -177,8 +197,10 @@ def optimize_lm(graph: FactorGraph, values: Values, params: Params = Params(),
                 break
             lam = lam * params.lambda_factor
             if lam > params.lambda_upper_bound:
+                _maybe_diagnose(graph, values, params)
                 return Result(values, err, it, False, lam)
         if not accepted:
+            _maybe_diagnose(graph, values, params)
             return Result(values, err, it, False, lam)
         if params.verbose:
             print(f"LM iter {it}: error {err:.6g} -> {new_err:.6g} (lambda {lam:.2g})")

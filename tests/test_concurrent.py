@@ -42,3 +42,41 @@ def test_concurrent_matches_batch():
     sm = np.asarray(cfs.smoothed_estimate()["se2"])
     want = np.asarray(batch.values["se2"])
     np.testing.assert_allclose(sm, want, atol=1e-5)
+
+    # smoother->filter summarized exchange: after synchronize, the filter's
+    # boundary prior is the smoother's joint marginal (not the filter's own
+    # stale accumulated prior), and the filter agrees with the batch solution
+    # on its live window
+    cfs.synchronize()
+    marg_batches = [b for b in cfs.filter.batches
+                    if b.name.startswith("marginal_")]
+    if marg_batches:  # window boundary exists once marginalization kicked in
+        res = cfs.filter.update([], None, None)
+        live = sorted(i for (g, i) in cfs.filter.timestamps)
+        filt = np.asarray(cfs.filter.estimate()["se2"])[live]
+        np.testing.assert_allclose(filt, want[live], atol=1e-4)
+
+
+def test_smoother_summary_is_marginal_information():
+    """The exchanged factor's information must equal inv(joint marginal cov)
+    of the smoother posterior on the boundary."""
+    from gtsam_personal_tpu.nonlinear.concurrent import _smoother_summary
+    from gtsam_personal_tpu.nonlinear.marginals import Marginals
+
+    b = GraphBuilder()
+    F.add_prior(b, "se2", 0, np.zeros(3), F.diag_noise([0.1, 0.1, 0.05]))
+    for i in range(3):
+        F.add_between(b, "se2", i, i + 1, np.array([1.0, 0.0, 0.0]),
+                      F.diag_noise([0.05, 0.05, 0.02]))
+    graph = b.build()
+    vals = optimizers.optimize_lm(
+        graph, Values({"se2": jnp.asarray(
+            np.cumsum(np.tile([1.0, 0, 0], (4, 1)), axis=0) - [1, 0, 0])})).values
+
+    boundary = [("se2", 2), ("se2", 3)]
+    summary = _smoother_summary(graph, vals, boundary)
+    S = np.asarray(summary.meas["sqrt_info"][0])
+    Lam = S.T @ S
+    cov = np.asarray(Marginals(graph, vals, damping=1e-9)
+                     .joint_marginal_covariance(boundary))
+    np.testing.assert_allclose(Lam, np.linalg.inv(cov), rtol=1e-5, atol=1e-6)
