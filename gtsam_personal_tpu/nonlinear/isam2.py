@@ -123,6 +123,11 @@ class ISAM2Params:
     tolerance plays wildfireThreshold's role)."""
     relinearize_threshold: float = 0.01
     lam: float = 1e-6               # constant GN damping (ISAM2GaussNewtonParams)
+    # trust region: per-variable tangent-norm cap on the delta returned by
+    # the solve (0 = off). The GN step of a stiff nonlinear chain (e.g.
+    # preintegrated IMU) can overshoot and snowball; this is the bounded-cost
+    # analogue of switching the reference's ISAM2 to ISAM2DoglegParams.
+    max_delta: float = 0.0
     cg_maxiter: int = 25            # iteration cap per update
     cg_tol: float = 1e-4            # exit when ||r|| < tol * ||r at entry||
     cg_tol_abs: float = 1e-10       # absolute residual floor (converged system)
@@ -351,12 +356,18 @@ class ISAM2:
     def update(self, extra_cg: int = 0) -> ISAM2Result:
         """Inject staged factors/values, relinearize stale rows, re-solve Δ
         (one resident device program). Reference: ISAM2::update."""
+        added_vars = any(self._pending_vars.values())
         if self._rebuild:
             self._build_device_state()
             self._pcache = None      # capacity shapes changed
         else:
             self._inject_pending()
+        # a cached preconditioner is only valid for the variables it saw:
+        # a new variable's block is zero in the stale cache and inverts to
+        # ~1/lam * I — catastrophic mis-scaling for stiff factor chains
+        # (measured: diverges IMU+GPS fusion). Rebuild whenever vars appear.
         use_cache = (self._pcache is not None
+                     and not added_vars
                      and self._updates_since_refresh
                      < self.params.precond_refresh)
         st, relin_rows, cg_it, self._pcache = _isam2_update(
@@ -364,7 +375,8 @@ class ISAM2:
             self.params.cg_maxiter + extra_cg, self.params.cg_tol,
             self.params.cg_tol_abs, self.params.relin_chunk,
             self.params.precond,
-            self._pcache if use_cache else None, use_cache)
+            self._pcache if use_cache else None, use_cache,
+            self.params.max_delta)
         self._updates_since_refresh = (self._updates_since_refresh + 1
                                        if use_cache else 1)
         self._state = st
@@ -471,10 +483,10 @@ def _relinearize_rows(b: _BatchState, theta, rows):
 
 
 @partial(jax.jit, static_argnames=("cg_maxiter", "relin_chunk",
-                                   "precond_kind", "use_cache"))
+                                   "precond_kind", "use_cache", "max_delta"))
 def _isam2_update(st: _State, beta, lam, cg_maxiter, cg_tol, cg_tol_abs,
                   relin_chunk, precond_kind="jacobi", pcache=None,
-                  use_cache=False):
+                  use_cache=False, max_delta=0.0):
     # ---- 1. fluid relinearization: variables with |delta| > beta ----
     relin_var = {}
     for g in st.theta:
@@ -554,6 +566,15 @@ def _isam2_update(st: _State, beta, lam, cg_maxiter, cg_tol, cg_tol_abs,
     precond = lambda r: _apply_precond(pcache, precond_kind, r)
     delta_new, cg_it = _pcg_counting(matvec, b_rhs, precond, delta,
                                      cg_maxiter, cg_tol, cg_tol_abs)
+    if max_delta > 0.0:
+        # per-variable trust region: scale each variable's tangent column so
+        # its norm is <= max_delta (keeps direction, bounds the GN step)
+        clipped = {}
+        for g, d in delta_new.items():
+            nrm = jnp.sqrt(jnp.sum(d * d, axis=0, keepdims=True))
+            scale = jnp.minimum(1.0, max_delta / jnp.maximum(nrm, 1e-30))
+            clipped[g] = d * scale
+        delta_new = clipped
     return (_State(theta, delta_new, st.nvar, new_batches), total_relin,
             cg_it, pcache)
 
@@ -566,11 +587,22 @@ def _build_precond_cache(lin: fm.FMGraph, st: _State, lam, kind: str):
     """'jacobi' — per-variable block diagonal; 'chain:<group>' — block-
     tridiagonal along <group>'s index chain (the spanning-subgraph/SPCG
     preconditioner, reference: SubgraphPreconditioner linear/SubgraphSolver.h
-    :76 — made incremental). The chain system is the normal equations of all
-    span-1 factors plus everything else's diagonal, hence SPD. The cache is
-    reused for `precond_refresh` updates (a stale SPD preconditioner is
-    still a valid preconditioner)."""
+    :76 — made incremental); 'superchain:<g1>+<g2>+...' — block-tridiagonal
+    over the COMBINED per-timestep state of several groups sharing one index
+    (e.g. se3+vel3+imu_bias for VIO: 15-dim blocks): exact for pure
+    odometric chains, which is what makes stiff preintegrated-IMU fusion
+    converge (block-jacobi cannot move information along the chain). The
+    cache is reused for `precond_refresh` updates (a stale SPD preconditioner
+    is still a valid preconditioner)."""
     blocks = lin.hessian_block_diagonal()
+    if kind.startswith("superchain:"):
+        groups = tuple(kind[len("superchain:"):].split("+"))
+        Dm, Om, cap = _superchain_harvest(lin, groups)
+        n = st.nvar[groups[0]]
+        Uinv, Omk = _chain_factorize_m(Dm, Om, n, lam)
+        others = {g: B for g, B in blocks.items() if g not in groups}
+        inv = _invert_blocks_fm(others, lam)
+        return {"Uinv": Uinv, "Om": Omk, "inv": inv}
     if kind.startswith("chain:"):
         cgroup = kind[len("chain:"):]
         cap = blocks[cgroup].shape[-1]
@@ -580,6 +612,77 @@ def _build_precond_cache(lin: fm.FMGraph, st: _State, lam, kind: str):
         inv = _invert_blocks_fm(others, lam)
         return {"Uinv": Uinv, "Om": Om, "inv": inv}
     return {"inv": _invert_blocks_fm(blocks, lam)}
+
+
+def _super_offsets(groups):
+    offs, off = {}, 0
+    for g in groups:
+        offs[g] = off
+        off += manifolds.get(g).dim
+    return offs, off
+
+
+def _superchain_harvest(lin: fm.FMGraph, groups):
+    """Assemble the block-tridiagonal Hessian of the combined per-timestep
+    state: D_i = H[(·,i),(·,i)] (all group pairs at timestep i, [cap, D, D])
+    and O_i = H[(·,i),(·,i+1)]. Groups must share capacity (one variable of
+    each group per timestep)."""
+    offs, D = _super_offsets(groups)
+    caps = {g: lin.counts[g] for g in groups}
+    assert len(set(caps.values())) == 1, \
+        f"superchain groups must share capacity, got {caps}"
+    cap = caps[groups[0]]
+    dtype = lin._dtype()
+    Dm = jnp.zeros((cap + 1, D, D), dtype=dtype)   # +1 = drop row
+    Om = jnp.zeros((cap + 1, D, D), dtype=dtype)
+    for b in lin.batches:
+        K = b.idx.shape[1]
+        rdim = b.rdim
+        for s, gs in enumerate(b.groups):
+            if gs not in offs:
+                continue
+            ds = manifolds.get(gs).dim
+            for t, gt in enumerate(b.groups):
+                if gt not in offs:
+                    continue
+                dt = manifolds.get(gt).dim
+                C = fm.fm_atb(b.Js[s], b.Js[t], rdim, ds, dt)  # [ds*dt, K]
+                Cm = C.T.reshape(K, ds, dt)
+                ii, jj = b.idx[s], b.idx[t]
+                same = jj == ii
+                Dm = Dm.at[jnp.where(same, ii, cap),
+                           offs[gs]:offs[gs] + ds,
+                           offs[gt]:offs[gt] + dt].add(
+                    jnp.where(same[:, None, None], Cm, 0.0), mode="drop")
+                nxt = jj == ii + 1
+                Om = Om.at[jnp.where(nxt, ii, cap),
+                           offs[gs]:offs[gs] + ds,
+                           offs[gt]:offs[gt] + dt].add(
+                    jnp.where(nxt[:, None, None], Cm, 0.0), mode="drop")
+    return Dm[:cap], Om[:cap], cap
+
+
+def _chain_factorize_m(Dm, Om, nvar, lam):
+    """Block-Thomas factorization of a tridiagonal system given as matrices
+    (Dm [cap, D, D] diagonal blocks, Om [cap, D, D] coupling i -> i+1)."""
+    cap, d, _ = Dm.shape
+    eye = jnp.eye(d, dtype=Dm.dtype)
+    act = jnp.arange(cap) < nvar
+    Dm = Dm + (lam + 1e-12) * eye
+    Dm = jnp.where(act[:, None, None], Dm, eye[None])
+    oact = jnp.arange(cap) < (nvar - 1)
+    Om = jnp.where(oact[:, None, None], Om, 0.0)
+    Oprev = jnp.concatenate([jnp.zeros((1, d, d), dtype=Om.dtype), Om[:-1]])
+
+    def step(Uinv_prev, inp):
+        Di, Oim1 = inp
+        Dt = Di - Oim1.T @ (Uinv_prev @ Oim1)
+        Uinv = jnp.linalg.inv(Dt)
+        return Uinv, Uinv
+
+    _, Uinv = jax.lax.scan(step, jnp.zeros((d, d), dtype=Dm.dtype),
+                           (Dm, Oprev))
+    return Uinv, Om
 
 
 def _invert_blocks_fm(blocks, lam):
@@ -599,7 +702,23 @@ def _apply_precond(cache, kind: str, r):
     for g, I in cache["inv"].items():
         d = manifolds.get(g).dim
         out[g] = fm.fm_matvec(I, r[g], d, d)
-    if kind.startswith("chain:"):
+    if kind.startswith("superchain:"):
+        groups = tuple(kind[len("superchain:"):].split("+"))
+        offs, D = _super_offsets(groups)
+        cap = cache["Uinv"].shape[0]
+        stacked = jnp.concatenate(
+            [r[g][:, :cap] for g in groups], axis=0)      # [D, cap]
+        x = _chain_apply(cache["Uinv"], cache["Om"], stacked)
+        for g in groups:
+            d = manifolds.get(g).dim
+            xg = x[offs[g]:offs[g] + d]
+            full_cap = r[g].shape[1]
+            if full_cap > cap:
+                xg = jnp.concatenate(
+                    [xg, jnp.zeros((d, full_cap - cap), dtype=xg.dtype)],
+                    axis=1)
+            out[g] = xg
+    elif kind.startswith("chain:"):
         cgroup = kind[len("chain:"):]
         out[cgroup] = _chain_apply(cache["Uinv"], cache["Om"], r[cgroup])
     return out
