@@ -10,6 +10,13 @@ all-reduce, exactly the distributed-Schur recipe.
 
 On real hardware the mesh axis maps onto ICI; here it is exercised on the
 virtual CPU mesh (tests) and via the driver's dryrun.
+
+This module is the *implicit* (GSPMD-annotation) route: shard the inputs and
+let the compiler insert collectives. The EXPLICIT distributed engine —
+`shard_map` with hand-placed `psum` for the landmark aggregates, device-local
+camera fronts, and the compute/collective split measurement — lives in
+`parallel/dist_ba.py` (and `parallel/dist_schur.py` for pose graphs); use
+those when you need control over what rides the interconnect.
 """
 
 from typing import Tuple

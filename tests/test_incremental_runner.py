@@ -53,8 +53,11 @@ def test_incremental_city10000_prefix():
     # a 300-pose prefix is a weakly-closed chain: small early angle
     # differences displace late poses at negligible cost, so compare costs
     # (the well-posed criterion), not absolute positions.
-    final_err = inc.solve(iters=4)
-    assert final_err < max(4.0 * bres.error, bres.error + 1e-3), \
+    final_err = inc.solve(iters=8)
+    # tightened from 4x (VERDICT r1): the amortized re-solve must land within
+    # 30% of the batch optimum cost (the bounded-cost engine in
+    # nonlinear/isam2.py holds the tighter ==optimum bar, tests/test_isam2.py)
+    assert final_err < max(1.3 * bres.error, bres.error + 1e-3), \
         (final_err, bres.error)
     est = inc.estimate()[:N]
     ref = np.asarray(bres.values["se2"])[:N]
