@@ -261,7 +261,9 @@ def main():
         if (k + 1) % 20 == 0:
             print(f"  correction {k+1:3d}: |pos - gps| = {pos_err[-1]:.3f} m",
                   flush=True)
-    res = isam.update(extra_cg=1000)
+    # polish with same-shape updates (extra_cg would retrace the program)
+    for _ in range(4):
+        res = isam.update()
     wall = time.time() - t0
 
     err = isam.error()

@@ -80,7 +80,11 @@ def main():
             print(f"  poses {added:6d}: {checkpoints[added]*1e3:7.2f} ms/update "
                   f"(segment of {seg_updates} updates)", flush=True)
             t_seg, seg_updates = time.time(), 0
-    res = isam.update(extra_cg=200)  # final polish solve (still warm)
+    # final polish: repeated same-shape updates (extra_cg would change the
+    # static cg_maxiter and force a full retrace of the city-scale program —
+    # minutes of XLA compile on CPU for zero benefit)
+    for _ in range(6):
+        res = isam.update()
     wall = time.time() - t0
     err = isam.error()
 
