@@ -60,13 +60,26 @@ def main():
     st, err = ba_bucket.ba_try_step_bl(state, obs, bl, lam, cg_maxiter=5)
     float(err)
 
+    err_init = float(ba_bucket.ba_error_bl(state, obs, bl))
+
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     st2 = state
     for _ in range(iters):
         st2, err = ba_bucket.ba_try_step_bl(st2, obs, bl, lam, cg_maxiter=5)
-    float(err)
+    err_final = float(err)
     dt = time.perf_counter() - t0
+
+    # quality gate: bench.py is the only check that runs on the real TPU;
+    # CPU tests cannot catch TPU-only numeric corruption (see CLAUDE.md on
+    # the silent bf16 Jacobian corruption found via a bench regression).
+    rms_px = float(np.sqrt(2.0 * err_final / bl.M))
+    assert np.isfinite(err_final), f"non-finite BA error {err_final}"
+    assert err_final < err_init, (
+        f"BA error did not decrease: {err_init} -> {err_final}")
+    assert rms_px < 2.0, f"rms reprojection {rms_px:.3f}px above gate (2.0)"
+    print(f"# err {err_init:.1f} -> {err_final:.1f}, rms {rms_px:.3f}px",
+          file=sys.stderr)
 
     ips = iters / dt
     print(json.dumps({

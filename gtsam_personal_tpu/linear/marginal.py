@@ -143,6 +143,60 @@ def marginalize(graph: FactorGraph, values: Values,
     return FactorGraph(keep_batches), marginal, bound_slots
 
 
+def graph_info_on(graph: FactorGraph, values: Values,
+                  boundary: Sequence[Tuple[str, int]]):
+    """Dense (Lambda, g) of `graph` Schur-complemented onto the ordered
+    `boundary` slots (all other variables of the graph are eliminated).
+    Boundary slots the graph never touches get zero rows/cols. Host-side
+    numpy; used for summarized-factor exchange (concurrent filter/smoother,
+    reference: ConcurrentBatchSmoother::getSummarizedFactors)."""
+    bound = [(g, int(i)) for g, i in boundary]
+    bset = set(bound)
+    offs: Dict[Tuple[str, int], int] = {}
+    off = 0
+    for key in bound:
+        offs[key] = off
+        off += manifolds.get(key[0]).dim
+    Db = off
+    interior: List[Tuple[str, int]] = []
+    for b in graph.batches:
+        idx = np.asarray(b.idx)
+        for s, g in enumerate(b.groups):
+            for i in np.unique(idx[:, s]):
+                key = (g, int(i))
+                if key not in offs:
+                    offs[key] = off
+                    off += manifolds.get(g).dim
+                    interior.append(key)
+    D = off
+
+    H = np.zeros((D, D))
+    gv = np.zeros(D)
+    for b in graph.batches:
+        lb = linearize_batch(b, values)
+        idx = np.asarray(b.idx)
+        dims = [manifolds.get(g).dim for g in b.groups]
+        for k in range(idx.shape[0]):
+            Js = [np.asarray(lb.Js[s][k]) for s in range(len(b.groups))]
+            r = np.asarray(lb.r[k])
+            cols = [offs[(g, int(idx[k, s]))] for s, g in enumerate(b.groups)]
+            for s in range(len(b.groups)):
+                gv[cols[s]:cols[s] + dims[s]] += Js[s].T @ r
+                for t in range(len(b.groups)):
+                    H[cols[s]:cols[s] + dims[s],
+                      cols[t]:cols[t] + dims[t]] += Js[s].T @ Js[t]
+
+    if D == Db:
+        return H, gv
+    Hbb = H[:Db, :Db]
+    Hbi = H[:Db, Db:]
+    Hii = H[Db:, Db:] + 1e-9 * np.eye(D - Db)
+    sol = np.linalg.solve(Hii, np.concatenate([Hbi.T, gv[Db:, None]], axis=1))
+    Lam = Hbb - Hbi @ sol[:, :-1]
+    g_out = gv[:Db] - Hbi @ sol[:, -1]
+    return 0.5 * (Lam + Lam.T), g_out
+
+
 def _select(b: FactorBatch, rows: np.ndarray) -> FactorBatch:
     rows = jnp.asarray(rows, dtype=jnp.int32)
     take = lambda x: x[rows]

@@ -10,10 +10,12 @@ cheap updates); the smoother is a periodic full batch LM over all accumulated
 factors (it owns ALL raw factors, so no filter->smoother summarization is
 needed — it strictly dominates the reference's exchanged filter summary).
 `synchronize()` performs the smoother->filter exchange: the filter's
-accumulated boundary marginal prior is REPLACED by the smoother posterior's
-joint marginal information on the same boundary variables (anchored at the
-smoothed estimates), and smoothed estimates are pushed into the window — the
-analogue of ConcurrentBatchSmoother::getSummarizedFactors feeding
+accumulated boundary marginal prior is REPLACED by the SMOOTHER-BRANCH joint
+marginal information on the same boundary variables (full-posterior marginal
+minus the filter's retained raw window factors' Schur complement, so nothing
+is double-counted), anchored at the smoothed estimates, and smoothed
+estimates are pushed into the window — the analogue of
+ConcurrentBatchSmoother::getSummarizedFactors feeding
 ConcurrentBatchFilter (gtsam_unstable/nonlinear/ConcurrentBatchSmoother.h)."""
 
 from typing import Dict, List, Optional, Tuple
@@ -89,8 +91,18 @@ class ConcurrentFilterSmoother:
             else:
                 kept.append(b)
         if boundary:
+            # The summary must carry ONLY smoother-branch information: the
+            # filter keeps its raw window factors (`kept`), so their boundary
+            # information must not also appear inside the summary (it would
+            # be double-counted -> overconfident, biased filter; ADVICE r2).
+            # Window-interior variables are touched only by window factors
+            # and smoother-interior ones only by smoother factors, so the
+            # full posterior's boundary marginal decomposes additively:
+            #   Lam_full(B) = Lam_smoother_branch(B) + Schur_B(kept window).
+            # We subtract the (directly computable) window term.
             summary = _smoother_summary(
-                FactorGraph(self.all_batches), sm, boundary)
+                FactorGraph(self.all_batches), sm, boundary,
+                exclude=FactorGraph(kept) if kept else None)
             self.filter.batches = kept + [summary]
 
         # 2. push smoothed estimates into the filter window
@@ -105,39 +117,62 @@ class ConcurrentFilterSmoother:
     def filtered_estimate(self) -> Values:
         return self.filter.estimate()
 
-    def smoother_summary_on(self, boundary: List[Tuple[str, int]]):
+    def smoother_summary_on(self, boundary: List[Tuple[str, int]],
+                            exclude: Optional[FactorGraph] = None):
         """The smoother's summarized factor on arbitrary boundary slots
-        (reference: ConcurrentBatchSmoother::getSummarizedFactors)."""
+        (reference: ConcurrentBatchSmoother::getSummarizedFactors). Pass
+        `exclude` = the factors the receiver already holds raw, so their
+        information is not double-counted."""
         if self.smoother_result is None:
             return None
         return _smoother_summary(FactorGraph(self.all_batches),
-                                 self.smoother_result.values, boundary)
+                                 self.smoother_result.values, boundary,
+                                 exclude=exclude)
 
     def smoothed_estimate(self) -> Optional[Values]:
         return None if self.smoother_result is None else self.smoother_result.values
 
 
 def _smoother_summary(graph: FactorGraph, values: Values,
-                      boundary: List[Tuple[str, int]]) -> FactorBatch:
-    """Dense Gaussian factor equal to the smoother posterior's joint marginal
-    information on `boundary`, anchored at the smoothed estimates (r0 = 0:
-    the smoothed estimate IS the marginal mode)."""
+                      boundary: List[Tuple[str, int]],
+                      exclude: Optional[FactorGraph] = None) -> FactorBatch:
+    """Dense Gaussian factor equal to the smoother-branch joint marginal
+    information on `boundary`, anchored at the smoothed estimates.
+
+    Computed as the full posterior's boundary marginal information minus the
+    Schur complement of the `exclude` graph (the filter's retained raw window
+    factors) onto the same boundary — exact because window-interior and
+    smoother-interior variables are disjoint across the two branches. The
+    linear term is -g_window(anchor): at the smoothed mode the full marginal
+    gradient is zero, so the smoother branch's gradient is the negative of
+    the window branch's (reference semantics:
+    ConcurrentBatchSmoother::getSummarizedFactors)."""
     from gtsam_personal_tpu.core import manifolds
-    from gtsam_personal_tpu.linear.marginal import make_marginal_residual
+    from gtsam_personal_tpu.linear.marginal import (graph_info_on,
+                                                    make_marginal_residual)
     from gtsam_personal_tpu.linear.noise import NoiseModel
     from gtsam_personal_tpu.nonlinear.marginals import Marginals
 
     cov = np.asarray(Marginals(graph, values, damping=1e-9)
                      .joint_marginal_covariance(boundary))
     Lam = np.linalg.inv(0.5 * (cov + cov.T))
+    g_lin = np.zeros(Lam.shape[0])
+    if exclude is not None and exclude.batches:
+        Lam_w, g_w = graph_info_on(exclude, values, boundary)
+        Lam = Lam - Lam_w
+        g_lin = -g_w
     Lam = 0.5 * (Lam + Lam.T)
     w, V = np.linalg.eigh(Lam)
     w = np.clip(w, 1e-12, None)
     S = np.diag(np.sqrt(w)) @ V.T           # S^T S = Lam
+    # r0 solves S^T r0 = g_lin; near-null directions of the (subtracted)
+    # information are projected out rather than amplified
+    good = w > 1e-9 * max(float(w.max()), 1.0)
+    r0 = np.where(good, (V.T @ g_lin) / np.sqrt(w), 0.0)
     groups = tuple(g for g, _ in boundary)
     dtype = np.asarray(values[groups[0]]).dtype
     meas = {"sqrt_info": jnp.asarray(S[None], dtype=dtype),
-            "r0": jnp.zeros((1, S.shape[0]), dtype=dtype)}
+            "r0": jnp.asarray(r0[None], dtype=dtype)}
     for s, (g, i) in enumerate(boundary):
         meas[f"anchor{s}"] = jnp.asarray(
             np.asarray(values[g][i])[None], dtype=dtype)

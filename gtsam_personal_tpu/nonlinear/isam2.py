@@ -714,9 +714,16 @@ def _apply_precond(cache, kind: str, r):
             xg = x[offs[g]:offs[g] + d]
             full_cap = r[g].shape[1]
             if full_cap > cap:
-                xg = jnp.concatenate(
-                    [xg, jnp.zeros((d, full_cap - cap), dtype=xg.dtype)],
-                    axis=1)
+                # columns beyond the cached chain capacity: fall back to the
+                # block-Jacobi inverse already in out[g] (zero-filling would
+                # make the preconditioner singular for those variables if a
+                # stale cache were ever applied after capacity growth;
+                # ADVICE r2)
+                if g in out:
+                    tail = out[g][:, cap:full_cap]
+                else:
+                    tail = r[g][:, cap:full_cap]
+                xg = jnp.concatenate([xg, tail], axis=1)
             out[g] = xg
     elif kind.startswith("chain:"):
         cgroup = kind[len("chain:"):]

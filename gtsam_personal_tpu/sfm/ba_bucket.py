@@ -47,11 +47,16 @@ from gtsam_personal_tpu.sfm.ba import (BAState, BAObservations,
                                        _residual_local, _residual_one, pcg)
 
 
-def _plan_buckets(counts_sorted_desc: np.ndarray, max_buckets: int):
+def _plan_buckets(counts_sorted_desc: np.ndarray, max_buckets: int,
+                  entity_tile: int = 8, width_tile: int = 1):
     """Split the descending count vector into <= max_buckets contiguous
     groups; returns list of (start, end, width). Width = group max count.
-    Greedy merge of adjacent power-of-two classes minimizing padded slots
-    (with C rounded up to the 8-row tile)."""
+    Greedy merge of adjacent power-of-two classes minimizing padded slots.
+
+    The cost model rounds to the rectangle's actual tile quanta: camera
+    buckets are [C_b, Q_b] (entities on the 8-row sublane axis ->
+    entity_tile=8); point buckets are [T_b, P_b] (entities on the 128-lane
+    axis -> entity_tile=128, width on rows -> width_tile=8)."""
     n = len(counts_sorted_desc)
     if n == 0:
         return []
@@ -67,8 +72,9 @@ def _plan_buckets(counts_sorted_desc: np.ndarray, max_buckets: int):
     bounds = sorted(set(bounds))
 
     def cost(s, e):
-        cb = e - s
-        return int(np.ceil(cb / 8)) * 8 * int(max(counts_sorted_desc[s], 1))
+        cb = -(-(e - s) // entity_tile) * entity_tile
+        w = int(max(counts_sorted_desc[s], 1))
+        return cb * (-(-w // width_tile) * width_tile)
 
     while len(bounds) - 1 > max_buckets:
         best, besti = None, None
@@ -150,12 +156,12 @@ class BucketLayout:
         pt = np.asarray(obs_point, dtype=np.int64)
         M = cam.shape[0]
 
-        def side(ids, n, max_b):
+        def side(ids, n, max_b, entity_tile=8, width_tile=1):
             cnt = np.bincount(ids, minlength=n)
             order = np.argsort(-cnt, kind="stable")   # sorted2orig
             inv = np.empty(n, dtype=np.int64)
             inv[order] = np.arange(n)                 # orig2sorted
-            plan = _plan_buckets(cnt[order], max_b)
+            plan = _plan_buckets(cnt[order], max_b, entity_tile, width_tile)
             # per-obs slot within its entity (stable, order of appearance)
             srt = inv[ids]
             o = np.argsort(srt, kind="stable")
@@ -165,8 +171,14 @@ class BucketLayout:
             pos[o] = np.arange(M) - ofs[srt[o]]
             return cnt, order, inv, plan, srt, pos
 
-        ccnt, corder, cinv, cplan, csrt, cpos = side(cam, C, max_cam_buckets)
-        pcnt, porder, pinv, pplan, psrt, ppos = side(pt, P, max_pt_buckets)
+        ccnt, corder, cinv, cplan, csrt, cpos = side(cam, C, max_cam_buckets,
+                                                     entity_tile=8,
+                                                     width_tile=128)
+        # point rectangles are [T_b, P_b]: entities on the 128-lane axis,
+        # width (track length) on the 8-row sublane axis (ADVICE r2)
+        pcnt, porder, pinv, pplan, psrt, ppos = side(pt, P, max_pt_buckets,
+                                                     entity_tile=128,
+                                                     width_tile=8)
 
         cam_shapes = [(e - s, w) for s, e, w in cplan]
         pt_shapes = [(e - s, w) for s, e, w in pplan]
