@@ -72,12 +72,68 @@ def fourier_weights(x_query, n: int):
     return jnp.stack(cols[:n], axis=-1)
 
 
+# -- Chebyshev first kind (polynomial basis T_k) ------------------------------
+
+def chebyshev1_weights(x_query, n: int, a: float = -1.0, b: float = 1.0):
+    """[T_0(t), ..., T_{n-1}(t)] with t the affine map of x to [-1, 1]
+    (reference: basis/Chebyshev.h Chebyshev1Basis)."""
+    x = jnp.asarray(x_query)
+    t = (2.0 * x - (a + b)) / (b - a)
+    cols = [jnp.ones_like(t), t]
+    for _ in range(2, n):
+        cols.append(2.0 * t * cols[-1] - cols[-2])
+    return jnp.stack(cols[:n], axis=-1)
+
+
+def chebyshev2_derivative_weights(x_query, n: int, a: float = -1.0,
+                                  b: float = 1.0):
+    """Weights d with f'(x) = d . f(points): barycentric evaluation of the
+    spectrally differentiated interpolant (reference:
+    Chebyshev2::DerivativeWeights)."""
+    w = chebyshev2_weights(x_query, n, a, b)
+    D = chebyshev2_differentiation_matrix(n, a, b)
+    return w @ D
+
+
 # -- Basis factors + FitBasis -------------------------------------------------
 
 def evaluation_residual(xs, meas):
     """EvaluationFactor: predicted = w . coeffs (reference: BasisFactors.h)."""
     (coeffs,) = xs
     return jnp.atleast_1d(jnp.dot(meas["w"], coeffs) - meas["z"])
+
+
+def vector_evaluation_residual(m: int):
+    """VectorEvaluationFactor<M>: the unknown is an [M, N] coefficient matrix
+    stored flat; predicted vector = C w (reference: BasisFactors.h
+    VectorEvaluationFactor)."""
+
+    def residual(xs, meas):
+        (coeffs,) = xs
+        C = coeffs.reshape(m, -1)
+        return C @ meas["w"] - meas["z"]
+
+    residual.__name__ = f"basis_vector_eval_{m}"
+    return residual
+
+
+def derivative_residual(xs, meas):
+    """DerivativeFactor: predicted f'(x) = d . coeffs with d the derivative
+    weights (reference: BasisFactors.h DerivativeFactor)."""
+    (coeffs,) = xs
+    return jnp.atleast_1d(jnp.dot(meas["d"], coeffs) - meas["z"])
+
+
+def vector_derivative_residual(m: int):
+    """VectorDerivativeFactor<M> (reference: BasisFactors.h)."""
+
+    def residual(xs, meas):
+        (coeffs,) = xs
+        C = coeffs.reshape(m, -1)
+        return C @ meas["d"] - meas["z"]
+
+    residual.__name__ = f"basis_vector_deriv_{m}"
+    return residual
 
 
 def fit_basis(xs_samples, zs_samples, n: int, basis: str = "chebyshev2",
@@ -91,6 +147,8 @@ def fit_basis(xs_samples, zs_samples, n: int, basis: str = "chebyshev2",
     K = len(xs_samples)
     if basis == "chebyshev2":
         W = np.stack([np.asarray(chebyshev2_weights(x, n, a, b)) for x in xs_samples])
+    elif basis == "chebyshev1":
+        W = np.asarray(chebyshev1_weights(jnp.asarray(xs_samples), n, a, b))
     elif basis == "fourier":
         W = np.asarray(fourier_weights(jnp.asarray(xs_samples), n))
     else:

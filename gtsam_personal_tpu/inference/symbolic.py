@@ -53,9 +53,14 @@ class SymbolicFactorGraph:
                 factors.append(set(joined))
         return SymbolicBayesNet(conditionals), fill
 
-    def default_ordering(self) -> List[int]:
+    def default_ordering(self, constrained_last: Sequence[int] = (),
+                         constrained_first: Sequence[int] = ()) -> List[int]:
         """Fill-reducing ordering via the native minimum-degree code
-        (reference: Ordering::Colamd)."""
+        (reference: Ordering::Colamd). `constrained_last` keys are forced to
+        the end of the ordering and `constrained_first` to the front, each
+        min-degree internally (reference: Ordering::ColamdConstrainedLast /
+        ColamdConstrainedFirst, inference/Ordering.h:112-139 — e.g. ISAM2
+        eliminates new keys last)."""
         from gtsam_personal_tpu import native
         keys = self.keys()
         remap = {k: i for i, k in enumerate(keys)}
@@ -72,7 +77,16 @@ class SymbolicFactorGraph:
         for i in range(n):
             indptr[i + 1] = indptr[i] + len(adj[i])
             indices.extend(sorted(adj[i]))
-        perm = native.min_degree_order(indptr, np.asarray(indices, dtype=np.int64))
+        indices = np.asarray(indices, dtype=np.int64)
+        if constrained_last or constrained_first:
+            group = np.ones(n, dtype=np.int64)
+            for k in constrained_first:
+                group[remap[k]] = 0
+            for k in constrained_last:
+                group[remap[k]] = 2
+            perm = native.min_degree_order_grouped(indptr, indices, group)
+        else:
+            perm = native.min_degree_order(indptr, indices)
         return [keys[int(p)] for p in perm]
 
 

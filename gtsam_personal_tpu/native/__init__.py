@@ -42,6 +42,9 @@ def get_lib():
                                    ctypes.c_int64, I64]
         lib.min_degree_order.restype = None
         lib.min_degree_order.argtypes = [ctypes.c_int64, I64, I64, I64]
+        lib.min_degree_order_grouped.restype = None
+        lib.min_degree_order_grouped.argtypes = [ctypes.c_int64, I64, I64,
+                                                 I64, I64]
         lib.classify_factors.restype = ctypes.c_int64
         lib.classify_factors.argtypes = [ctypes.c_int64, ctypes.c_int64,
                                          I64, I64, I64]
@@ -101,6 +104,34 @@ def min_degree_order(indptr, indices):
     alive = np.ones(n, dtype=bool)
     for k in range(n):
         u = int(np.argmin(np.where(alive, deg, np.iinfo(np.int64).max)))
+        perm[k] = u
+        alive[u] = False
+        nbr = indices[indptr[u]:indptr[u + 1]]
+        deg[nbr[alive[nbr]]] -= 1
+    return perm
+
+
+def min_degree_order_grouped(indptr, indices, group):
+    """Group-constrained min-degree: all group-g vertices eliminated before
+    any group-(g+1) vertex, fill-reducing within a group (reference:
+    Ordering::ColamdConstrainedLast/First, inference/Ordering.h:112-139)."""
+    n = len(indptr) - 1
+    lib = get_lib()
+    perm = np.empty(n, dtype=np.int64)
+    group = np.ascontiguousarray(group, dtype=np.int64)
+    if lib:
+        indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+        indices = np.ascontiguousarray(indices, dtype=np.int64)
+        lib.min_degree_order_grouped(n, _ptr(indptr), _ptr(indices),
+                                     _ptr(group), _ptr(perm))
+        return perm
+    # numpy fallback: greedy (group, degree) selection without clique update
+    deg = np.diff(indptr).astype(np.int64)
+    alive = np.ones(n, dtype=bool)
+    big = np.iinfo(np.int64).max // 4
+    for k in range(n):
+        score = np.where(alive, group * big + deg, np.iinfo(np.int64).max)
+        u = int(np.argmin(score))
         perm[k] = u
         alive[u] = False
         nbr = indices[indptr[u]:indptr[u + 1]]

@@ -88,6 +88,57 @@ void min_degree_order(int64_t n, const int64_t* indptr, const int64_t* indices,
   }
 }
 
+// Group-constrained minimum degree: eliminate all group-g vertices before
+// any group-(g+1) vertex, min-degree within a group (the analogue of
+// Ordering::ColamdConstrainedLast/First, inference/Ordering.h:112-139 —
+// e.g. new keys eliminated last in ISAM2's recalculate).
+void min_degree_order_grouped(int64_t n, const int64_t* indptr,
+                              const int64_t* indices, const int64_t* group,
+                              int64_t* perm) {
+  std::vector<std::unordered_set<int64_t>> adj(n);
+  for (int64_t u = 0; u < n; ++u)
+    for (int64_t k = indptr[u]; k < indptr[u + 1]; ++k)
+      if (indices[k] != u) adj[u].insert(indices[k]);
+
+  std::vector<char> eliminated(n, 0);
+  struct Entry {
+    int64_t grp, deg, node;
+    bool operator>(const Entry& o) const {
+      if (grp != o.grp) return grp > o.grp;
+      if (deg != o.deg) return deg > o.deg;
+      return node > o.node;
+    }
+  };
+  std::priority_queue<Entry, std::vector<Entry>, std::greater<Entry>> heap;
+  for (int64_t u = 0; u < n; ++u)
+    heap.push({group[u], (int64_t)adj[u].size(), u});
+
+  int64_t count = 0;
+  while (count < n) {
+    auto [grp, deg, u] = heap.top();
+    heap.pop();
+    if (eliminated[u] || (int64_t)adj[u].size() != deg) {
+      if (!eliminated[u]) heap.push({group[u], (int64_t)adj[u].size(), u});
+      continue;
+    }
+    perm[count++] = u;
+    eliminated[u] = 1;
+    std::vector<int64_t> nbrs(adj[u].begin(), adj[u].end());
+    for (int64_t v : nbrs) adj[v].erase(u);
+    for (size_t a = 0; a < nbrs.size(); ++a) {
+      int64_t va = nbrs[a];
+      if (eliminated[va]) continue;
+      for (size_t b = a + 1; b < nbrs.size(); ++b) {
+        int64_t vb = nbrs[b];
+        if (eliminated[vb]) continue;
+        if (adj[va].insert(vb).second) adj[vb].insert(va);
+      }
+      heap.push({group[va], (int64_t)adj[va].size(), va});
+    }
+    adj[u].clear();
+  }
+}
+
 // Classify factors against a partition: for each factor (row of vids
 // [K, S]), find its interior part (max over non-separator slots; -1 if all
 // slots are separator). Returns 0 on success, row index + 1 of the first
