@@ -17,9 +17,14 @@ mesh; landmarks are replicated. Each device
     products psum'd so every device agrees on step sizes.
 
 The camera solution comes back sharded ([Cpad, 9] with leading axis laid out
-over the mesh); the landmark back-substitution is replicated. Collective
-traffic per CG iteration is ONE [3, P] psum + 2 scalar psums — the landmark
-aggregate — which rides ICI on real hardware.
+over the mesh); the landmark back-substitution is ownership-partitioned.
+Landmarks are reordered so the Ps points covisible from >1 device's camera
+block (the "boundary", small under real covisibility locality) form a
+prefix; per CG iteration the collective is ONE [3, Ps] psum + 2 scalar
+psums, and exclusive landmarks never travel — SURVEY §7's "landmarks are
+block-local by construction from track partitioning" made literal. One
+ownership-masked [3, P] psum at the end assembles the global landmark
+update.
 
 Reference analogue: the same Schur algebra as RegularImplicitSchurFactor
 (slam/RegularImplicitSchurFactor.h) — there single-address-space, here
@@ -43,13 +48,22 @@ from gtsam_personal_tpu.geometry import se3, cameras as cam_geo
 
 class DistBALayout(NamedTuple):
     """Per-device cam-major/point-major dual layouts, stacked on a leading
-    mesh axis. Static dims in `dims` = (n, Cl, Q, T, P)."""
+    mesh axis. Static dims in `dims` = (n, Cl, Q, T, P, Ps, pt_offs).
+
+    Points are reordered by OWNERSHIP (SURVEY §7: landmarks are block-local
+    by construction from track partitioning): the Ps points observed from
+    cameras of more than one device ("boundary" landmarks) come first, then
+    each device's exclusive points contiguously (pt_offs[d]..pt_offs[d+1]).
+    Only the boundary prefix needs the per-CG-iteration psum; exclusive
+    points' aggregates are complete device-locally."""
     uv_cm: jnp.ndarray      # [n, 2, Cl*Q]
-    pt_of_cm: jnp.ndarray   # [n, Cl*Q] point id per local cam slot (P = dead)
+    pt_of_cm: jnp.ndarray   # [n, Cl*Q] DIST point id per local cam slot (P = dead)
     cam_mask: jnp.ndarray   # [n, Cl*Q]
     p2c_tp: jnp.ndarray     # [n, T, P] local cam flat pos per (t,p) (dead = Cl*Q)
     c2p_tp: jnp.ndarray     # [n, Cl*Q] (t,p) flat pos per cam slot (dead = T*P)
-    dims: tuple             # static (n, Cl, Q, T, P)
+    pt_perm: jnp.ndarray    # [P] dist order -> original point id
+    pt_inv: jnp.ndarray     # [P] original point id -> dist order
+    dims: tuple             # static (n, Cl, Q, T, P, Ps, pt_offs[n+1])
 
 
 def pad_cameras(state: ba.BAState, n: int) -> ba.BAState:
@@ -68,15 +82,50 @@ def pad_cameras(state: ba.BAState, n: int) -> ba.BAState:
 
 
 def build_dist_layout(obs: ba.BAObservations, C: int, P: int, n: int,
-                      dtype=np.float32) -> DistBALayout:
+                      dtype=np.float32,
+                      partition_points: bool = True) -> DistBALayout:
     """Host-side: deal observations to the device owning their camera and
     build one cam-major/point-major dual layout per device, padded to common
-    (Q, T) widths so every device runs the identical program."""
+    (Q, T) widths so every device runs the identical program.
+
+    With `partition_points` (default), points are reordered so multi-device
+    ("boundary") points form a prefix of size Ps and each device's exclusive
+    points are contiguous — the per-CG-iteration landmark psum then covers
+    only the boundary prefix. partition_points=False keeps the old
+    all-points-shared behavior (Ps = P)."""
     cam = np.asarray(obs.cam, dtype=np.int64)
-    pt = np.asarray(obs.point, dtype=np.int64)
+    pt_orig = np.asarray(obs.point, dtype=np.int64)
     uv = np.asarray(obs.uv)
     Cl = -(-C // n)
     dev = cam // Cl
+
+    # --- point ownership reorder: [boundary | dev0-exclusive | ...] ---
+    if partition_points:
+        dmin = np.full(P, n, dtype=np.int64)
+        dmax = np.full(P, -1, dtype=np.int64)
+        np.minimum.at(dmin, pt_orig, dev)
+        np.maximum.at(dmax, pt_orig, dev)
+        observed = dmax >= 0
+        shared = observed & (dmin != dmax)
+        owner = np.where(shared | ~observed, -1, dmin)  # unobserved -> boundary
+        order = []
+        boundary_ids = np.where(owner < 0)[0]
+        order.append(boundary_ids)
+        pt_offs = [len(boundary_ids)]
+        for d in range(n):
+            ids = np.where(owner == d)[0]
+            order.append(ids)
+            pt_offs.append(pt_offs[-1] + len(ids))
+        pt_perm = np.concatenate(order)                 # dist -> orig
+        Ps = int(pt_offs[0])
+        pt_offs = tuple([0] + pt_offs)                  # [0, Ps, ..., P]
+    else:
+        pt_perm = np.arange(P, dtype=np.int64)
+        Ps = P
+        pt_offs = tuple([0, P] + [P] * n)
+    pt_inv = np.empty(P, dtype=np.int64)
+    pt_inv[pt_perm] = np.arange(P)
+    pt = pt_inv[pt_orig]                                # DIST point ids
 
     sels = [np.where(dev == d)[0] for d in range(n)]
     Q = max(1, max((np.bincount(cam[s] - d * Cl, minlength=Cl).max() if s.size
@@ -116,15 +165,19 @@ def build_dist_layout(obs: ba.BAObservations, C: int, P: int, n: int,
 
     j = jnp.asarray
     return DistBALayout(j(uv_cm), j(pt_of), j(mask), j(p2c_tp), j(c2p_tp),
-                        (n, Cl, Q, T, P))
+                        j(pt_perm), j(pt_inv),
+                        (n, Cl, Q, T, P, Ps, pt_offs))
 
 
 def _solve_body(dims, axis, cg_maxiter, cg_tol, skip_collectives,
                 poses, cals, points, lam,
-                uv_cm, pt_of_cm, cam_mask, p2c_tp, c2p_tp):
+                uv_cm, pt_of_cm, cam_mask, p2c_tp, c2p_tp, pt_perm, pt_inv):
     """Per-device distributed Schur-PCG camera solve + landmark backsub.
-    Mirrors sfm/ba.py:solve_ba_step_cm with psum at the landmark aggregates."""
-    n, Cl, Q, T, P = dims
+    Mirrors sfm/ba.py:solve_ba_step_cm with psum at the landmark aggregates.
+    Landmark arrays live in DIST (ownership) order: only the boundary prefix
+    [.., :Ps] is all-reduced; exclusive points' partial sums are already
+    complete on their owner device."""
+    n, Cl, Q, T, P, Ps, pt_offs = dims
     CQ = Cl * Q
     dtype = points.dtype
     sq = lambda x: x.reshape(x.shape[1:])
@@ -133,7 +186,18 @@ def _solve_body(dims, axis, cg_maxiter, cg_tol, skip_collectives,
     psum = ((lambda x: x) if skip_collectives
             else (lambda x: lax.psum(x, axis)))
 
+    def psum_pts(x):
+        """All-reduce ONLY the boundary-landmark prefix of a [k, P] dist-
+        order array (the per-iteration collective payload)."""
+        if skip_collectives or Ps == 0:
+            return x
+        if Ps == P:
+            return lax.psum(x, axis)
+        return jnp.concatenate(
+            [lax.psum(x[:, :Ps], axis), x[:, Ps:]], axis=1)
+
     d = lax.axis_index(axis)
+    points = points[pt_perm]                                  # dist order
     poses_l = lax.dynamic_slice_in_dim(poses, d * Cl, Cl)     # [Cl, 3, 4]
     cals_l = lax.dynamic_slice_in_dim(cals, d * Cl, Cl)       # [Cl, 3]
 
@@ -195,22 +259,24 @@ def _solve_body(dims, axis, cg_maxiter, cg_tol, skip_collectives,
         return jnp.stack([
             sum(Jp4[i, k] * u[k][None, :] for k in range(3)) for i in range(2)])
 
-    # ---- landmark system: partial sums -> psum -> replicated inverse ----
-    Hpp = psum(jnp.stack([
+    # ---- landmark system: partial sums -> boundary psum -> inverse ----
+    # (valid for visible points on each device: exclusive points' sums are
+    # locally complete, boundary points are all-reduced)
+    Hpp = psum_pts(jnp.stack([
         sum(jnp.sum(Jp4[i, k] * Jp4[i, l], axis=0) for i in range(2))
-        for k in range(3) for l in range(3)]))                # [9, P] global
+        for k in range(3) for l in range(3)]))                # [9, P]
     Hpp = bk.add_scaled_identity_33_T(Hpp, lam + 1e-10)
     HppInv = bk.sym33_inv_T(Hpp)
 
     gc = cam_reduce(r_cm)                                     # [9, Cl] local
-    gp = psum(pt_reduce_local(r_pm))                          # [3, P] global
+    gp = psum_pts(pt_reduce_local(r_pm))                      # [3, P]
 
     hp = bk.sym33_matvec_T(HppInv, gp)
     b = -gc + cam_reduce(point_to_cam(pt_apply(hp)))          # [9, Cl] local
 
     def schur_matvec(x):                                      # x [9, Cl] local
         a = cam_apply(x)
-        t = psum(pt_reduce_local(cam_to_point(a)))            # landmark aggregate
+        t = psum_pts(pt_reduce_local(cam_to_point(a)))        # boundary-only
         u = bk.sym33_matvec_T(HppInv, t)
         bc = point_to_cam(pt_apply(u))
         return cam_reduce(a - bc) + lam * x
@@ -261,9 +327,18 @@ def _solve_body(dims, axis, cg_maxiter, cg_tol, skip_collectives,
 
     _, xc, *_ = lax.while_loop(cond, body, (0, x0, b, z0, z0, rz0, bb))
 
-    # ---- landmark back-substitution (replicated from psum'd aggregate) ----
-    t = psum(pt_reduce_local(cam_to_point(cam_apply(xc))))
-    xp = bk.sym33_matvec_T(HppInv, -gp - t)
+    # ---- landmark back-substitution: each device solves its visible
+    # points; ONE ownership-masked psum assembles the global solution
+    # (boundary points identical on every device -> credited to device 0) ----
+    t = psum_pts(pt_reduce_local(cam_to_point(cam_apply(xc))))
+    xp = bk.sym33_matvec_T(HppInv, -gp - t)                   # [3, P] dist
+    offs_arr = jnp.asarray(pt_offs, dtype=jnp.int32)
+    p = jnp.arange(P, dtype=jnp.int32)
+    lo = offs_arr[d + 1]
+    hi = offs_arr[d + 2]
+    owned = ((p >= lo) & (p < hi)) | ((p < Ps) & (d == 0))
+    xp = psum(jnp.where(owned[None, :], xp, 0.0))
+    xp = xp[:, pt_inv]                                        # back to orig order
     return xc.T, xp.T                                         # [Cl,9], [P,3]
 
 
@@ -276,13 +351,13 @@ def dist_solve_ba_step(state_pad: ba.BAState, dl: DistBALayout, lam,
                    skip_collectives)
     mapped = shard_map(
         body, mesh=mesh,
-        in_specs=(P_(), P_(), P_(), P_()) + (P_(axis),) * 5,
+        in_specs=(P_(), P_(), P_(), P_()) + (P_(axis),) * 5 + (P_(), P_()),
         out_specs=(P_(axis), P_()),
         check_vma=False)
     lam = jnp.asarray(lam, dtype=state_pad.points.dtype)
     return mapped(state_pad.cam_poses, state_pad.cam_cals, state_pad.points,
                   lam, dl.uv_cm, dl.pt_of_cm, dl.cam_mask, dl.p2c_tp,
-                  dl.c2p_tp)
+                  dl.c2p_tp, dl.pt_perm, dl.pt_inv)
 
 
 def dist_ba_try_step(state_pad: ba.BAState, obs: ba.BAObservations,

@@ -76,7 +76,7 @@ def _plan_buckets(counts_sorted_desc: np.ndarray, max_buckets: int,
         w = int(max(counts_sorted_desc[s], 1))
         return cb * (-(-w // width_tile) * width_tile)
 
-    while len(bounds) - 1 > max_buckets:
+    while len(bounds) > 2:
         best, besti = None, None
         for i in range(1, len(bounds) - 1):
             merged = cost(bounds[i - 1], bounds[i + 1])
@@ -84,7 +84,12 @@ def _plan_buckets(counts_sorted_desc: np.ndarray, max_buckets: int,
             d = merged - sep
             if best is None or d < best:
                 best, besti = d, i
-        bounds.pop(besti)
+        # merge while over the cap, and keep taking free/profitable merges
+        # (tile rounding makes many narrow classes strictly worse than one)
+        if len(bounds) - 1 > max_buckets or best <= 0:
+            bounds.pop(besti)
+        else:
+            break
     return [(bounds[i], bounds[i + 1],
              int(max(counts_sorted_desc[bounds[i]], 1)))
             for i in range(len(bounds) - 1)]
@@ -135,9 +140,18 @@ class BucketLayout:
     def PT_total(self):
         return sum(pb * tb for pb, tb in self.pt_shapes)
 
-    def padding_waste(self):
-        """(cam_slots/M, point_slots/M) — the honesty metric."""
-        return self.CQ_total / self.M, self.PT_total / self.M
+    def padding_waste(self, tiled: bool = True):
+        """(cam_slots/M, point_slots/M) — the honesty metric. With
+        tiled=True (default) it counts PHYSICAL tile-rounded slots (camera
+        rectangles [C_b, Q_b] round to (8, 128); point rectangles [T_b, P_b]
+        to (8, 128)) — what the TPU actually allocates and streams;
+        tiled=False counts logical layout slots only."""
+        if not tiled:
+            return self.CQ_total / self.M, self.PT_total / self.M
+        r = lambda v, t: -(-v // t) * t
+        cam = sum(r(cb, 8) * r(qb, 128) for cb, qb in self.cam_shapes)
+        pt = sum(r(tb, 8) * r(pb, 128) for pb, tb in self.pt_shapes)
+        return cam / self.M, pt / self.M
 
     def tree_flatten(self):
         arrs = (self.cam_ids, self.g_cam, self.cam_mask, self.pt_srt_cm,

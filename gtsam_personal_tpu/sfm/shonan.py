@@ -139,10 +139,17 @@ def _connection_laplacian_matvec(edges_ij, R_meas, kappa, V):
 
 
 def min_eigenvalue(edges_ij, R_meas, kappa, Y, iters: int = 400,
-                   seed: int = 0) -> Tuple[float, np.ndarray]:
+                   seed: int = 0,
+                   accelerated: bool = True) -> Tuple[float, np.ndarray]:
     """Minimum eigenvalue of the certificate matrix S = L - Lambda(Y) via a
-    shifted power method (reference: AcceleratedPowerMethod used by
-    computeMinEigenValue)."""
+    shifted power method on A = sigma I - S (reference:
+    linear/AcceleratedPowerMethod.h used by ShonanAveraging
+    computeMinEigenValue, sfm/ShonanAveraging.h:253).
+
+    With `accelerated` (default), uses the momentum recurrence
+    x_{k+1} = A x_k - beta x_{k-1} with beta = (rho/2)^2 estimated from a
+    short plain-power burn-in (the reference's estimated-beta scheme) —
+    O(sqrt(gap)) convergence instead of O(gap)."""
     edges_ij = jnp.asarray(edges_ij)
     R_meas = jnp.asarray(R_meas)
     kappa = jnp.asarray(kappa)
@@ -168,13 +175,33 @@ def min_eigenvalue(edges_ij, R_meas, kappa, Y, iters: int = 400,
     v = jax.random.normal(key, (n, 3), dtype=Y.dtype)
     v = v / jnp.linalg.norm(v)
 
+    A = lambda u: sigma * u - S_matvec(u)                # power on sigma I - S
+
     def body(v, _):
-        w = sigma * v - S_matvec(v)                      # power on sigma I - S
+        w = A(v)
         w = w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
         return w, None
 
-    v, _ = jax.lax.scan(body, v, None, length=iters)
-    lam_shift = float(jnp.vdot(v, sigma * v - S_matvec(v)))
+    if not accelerated:
+        v, _ = jax.lax.scan(body, v, None, length=iters)
+    else:
+        # burn-in: plain power to estimate the dominant eigenvalue of A
+        burn = min(10, iters)
+        v, _ = jax.lax.scan(body, v, None, length=burn)
+        rho = jnp.vdot(v, A(v))                          # Rayleigh estimate
+        beta = (rho / 2.0) ** 2
+
+        def acc_body(carry, _):
+            v, v_prev = carry
+            w = A(v) - beta * v_prev
+            nrm = jnp.maximum(jnp.linalg.norm(w), 1e-30)
+            return (w / nrm, v / nrm), None
+
+        (v, _), _ = jax.lax.scan(acc_body, (v, jnp.zeros_like(v)), None,
+                                 length=max(iters - burn, 0))
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+    lam_shift = float(jnp.vdot(v, A(v)))
     lam_min = sigma - lam_shift
     return lam_min, np.asarray(v)
 

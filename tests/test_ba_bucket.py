@@ -85,5 +85,7 @@ def test_uniform_problem_degenerates_to_few_buckets():
     state, obs = ba.state_from_bal(prob)
     bl = ba_bucket.make_bucket_layout(obs, 16, 200)
     assert len(bl.cam_shapes) <= 2
-    cam_w, pt_w = bl.padding_waste()
+    # logical layout waste (the tiled default adds the unavoidable
+    # 8x128-tile floor, which dominates at toy scale)
+    cam_w, pt_w = bl.padding_waste(tiled=False)
     assert cam_w < 2.5 and pt_w < 2.5

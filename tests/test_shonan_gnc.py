@@ -166,3 +166,56 @@ class TestKalman:
         truth = np.asarray(se2.compose(jnp.zeros(3), jnp.asarray([1.0, 0.0, 0.1])))
         s = ekf.update(h, jnp.asarray(truth[:2]), 1e-4 * jnp.eye(2))
         np.testing.assert_allclose(np.asarray(s.mean)[:2], truth[:2], atol=1e-2)
+
+
+def test_accelerated_power_method_matches_plain_and_dense():
+    """min_eigenvalue: accelerated (momentum) variant must agree with the
+    plain shifted power method and with a dense eig of the certificate
+    matrix (reference: linear/AcceleratedPowerMethod.h)."""
+    import jax.numpy as jnp
+    from gtsam_personal_tpu.sfm.shonan import (min_eigenvalue,
+                                               _connection_laplacian_matvec)
+
+    rng = np.random.default_rng(4)
+    n = 12
+    edges, R_meas = [], []
+    Rg = [np.asarray(so3.expmap(jnp.asarray(rng.normal(scale=0.8, size=3))))
+          for _ in range(n)]
+    for i in range(n):
+        jj = (i + 1) % n
+        edges.append((i, jj))
+        R_meas.append(Rg[i].T @ Rg[jj])
+    for _ in range(4):
+        i, jj = rng.choice(n, size=2, replace=False)
+        edges.append((i, jj))
+        R_meas.append(Rg[i].T @ Rg[jj])
+    edges = np.asarray(edges)
+    R_meas = np.stack(R_meas)
+    kappa = np.ones(len(edges))
+    Y = np.stack([R.T[:, :] for R in Rg])        # [n, 3, 3] -> transpose rows
+    Y = np.swapaxes(np.stack(Rg), 1, 2)          # [n, p=3, 3]
+
+    lam_acc, _ = min_eigenvalue(edges, R_meas, kappa, Y, iters=300,
+                                accelerated=True)
+    lam_plain, _ = min_eigenvalue(edges, R_meas, kappa, Y, iters=2000,
+                                  accelerated=False)
+
+    # dense certificate matrix S = L - blockdiag(Lambda)
+    Z = np.swapaxes(Y, 1, 2)
+    L = np.zeros((3 * n, 3 * n))
+    for (i, jj), R, k in zip(edges, R_meas, kappa):
+        L[3*i:3*i+3, 3*i:3*i+3] += k * np.eye(3)
+        L[3*jj:3*jj+3, 3*jj:3*jj+3] += k * np.eye(3)
+        L[3*i:3*i+3, 3*jj:3*jj+3] -= k * R
+        L[3*jj:3*jj+3, 3*i:3*i+3] -= k * R.T
+    LZ = _connection_laplacian_matvec(jnp.asarray(edges), jnp.asarray(R_meas),
+                                      jnp.asarray(kappa), jnp.asarray(Z))
+    Lam = np.einsum("nip,njp->nij", np.asarray(LZ), Z)
+    Lam = 0.5 * (Lam + np.swapaxes(Lam, 1, 2))
+    S = L.copy()
+    for i in range(n):
+        S[3*i:3*i+3, 3*i:3*i+3] -= Lam[i]
+    lam_true = np.linalg.eigvalsh(S).min()
+
+    np.testing.assert_allclose(lam_acc, lam_true, atol=1e-4)
+    np.testing.assert_allclose(lam_plain, lam_true, atol=1e-3)
