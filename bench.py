@@ -9,11 +9,13 @@ flagged that as dishonest because global-max padding wastes ~116x on skewed
 data). The solver is the bucketed dual-layout engine (sfm/ba_bucket.py) whose
 padding waste stays <4x under this skew.
 
-One iteration = full batched relinearization (autodiff through SE(3)
-retraction + Cal3Bundler projection for every observation) + implicit-Schur
-PCG camera solve (5 CG iterations, inexact-Newton: the cg sweep 5/6/8/10 all
-reach the same fixed point — PERFORMANCE.md) + landmark back-substitution +
-retract + error, entirely on device in fp32.
+One iteration = one full Levenberg-Marquardt iteration entirely on device
+in fp32: batched relinearization (autodiff through SE(3) retraction +
+Cal3Bundler projection for every observation) + implicit-Schur PCG camera
+solve (5 CG iterations, inexact-Newton) + landmark back-substitution +
+retract + error + accept/reject with lambda adaptation (the reference's
+tryLambda; rejected tries count as iterations there too). The carry stays
+on device — no host sync inside the timed loop.
 
 vs_baseline: Ceres/GTSAM-class CPU bundle adjusters run ~1 LM iteration/sec
 at this scale (BASELINE.md; the reference itself publishes no numbers).
@@ -54,20 +56,27 @@ def main():
     print(f"# obs={bl.M} cam_buckets={bl.cam_shapes} pt_buckets={bl.pt_shapes}"
           f" cam_waste={cam_w:.2f}x pt_waste={pt_w:.2f}x", file=sys.stderr)
 
-    lam = jnp.float32(1e-4)
+    # Each timed iteration is one FULL on-device LM iteration: damped solve
+    # + retract trial + error + accept/reject + lambda update (reference
+    # tryLambda semantics). A fixed-lambda try-step sequence diverges on
+    # this problem (round-2's silent failure mode, caught by the round-3
+    # quality gate below); the LM carry cannot.
+    err_init = float(ba_bucket.ba_error_bl(state, obs, bl))
+    lam = jnp.float32(1e-3)
+    err0 = jnp.float32(err_init)
     # compile + warmup (block_until_ready is unreliable on the axon backend:
     # sync via a host transfer)
-    st, err = ba_bucket.ba_try_step_bl(state, obs, bl, lam, cg_maxiter=5)
+    st, lam1, err = ba_bucket.ba_lm_iter_bl(state, obs, bl, lam, err0,
+                                            cg_maxiter=5)
     float(err)
-
-    err_init = float(ba_bucket.ba_error_bl(state, obs, bl))
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
-    st2 = state
+    st2, lamc, errc = state, lam, err0
     for _ in range(iters):
-        st2, err = ba_bucket.ba_try_step_bl(st2, obs, bl, lam, cg_maxiter=5)
-    err_final = float(err)
+        st2, lamc, errc = ba_bucket.ba_lm_iter_bl(st2, obs, bl, lamc, errc,
+                                                  cg_maxiter=5)
+    err_final = float(errc)
     dt = time.perf_counter() - t0
 
     # quality gate: bench.py is the only check that runs on the real TPU;

@@ -459,6 +459,29 @@ def ba_try_step_bl(state: BAState, obs: BAObservations, bl: BucketLayout,
     return new_state, ba_error_bl(new_state, obs, bl)
 
 
+@partial(jax.jit, static_argnames=("cg_maxiter",))
+def ba_lm_iter_bl(state: BAState, obs: BAObservations, bl: BucketLayout,
+                  lam, err, cg_maxiter=100,
+                  lam_lo=1e-6, lam_hi=1e3):
+    """One FULL Levenberg-Marquardt iteration entirely on device: damped
+    solve + retract trial + error + accept/reject + lambda update (the
+    reference's tryLambda semantics, LevenbergMarquardtOptimizer.cpp:121 —
+    reject restores the old state and raises lambda). Carry (state, lam,
+    err) through repeated calls with NO host synchronization; unlike a
+    fixed-lambda try-step sequence this cannot diverge, so it is the honest
+    thing to time (bench.py)."""
+    xc, xp = solve_ba_step_bl(state, obs, bl, lam, cg_maxiter=cg_maxiter)
+    trial = retract_ba(state, xc, xp)
+    err_t = ba_error_bl(trial, obs, bl)
+    ok = jnp.isfinite(err_t) & (err_t < err)
+    new_state = jax.tree.map(
+        lambda a, b: jnp.where(ok, a, b), trial, state)
+    new_err = jnp.where(ok, err_t, err)
+    new_lam = jnp.where(ok, jnp.maximum(lam * 0.5, lam_lo),
+                        jnp.minimum(lam * 4.0, lam_hi))
+    return new_state, new_lam, new_err
+
+
 def make_bucket_layout(obs: BAObservations, C: int, P: int, **kw):
     return BucketLayout.build(np.asarray(obs.cam), np.asarray(obs.point),
                               C, P, **kw)
