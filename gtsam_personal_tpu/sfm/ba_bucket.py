@@ -116,7 +116,7 @@ class BucketLayout:
     def __init__(self, C, P, M, cam_shapes, pt_shapes, cam_ids, g_cam,
                  cam_mask, pt_srt_cm, pt_ids, p2c_tp, c2p_tp,
                  cam_sorted2orig, cam_orig2sorted, pt_sorted2orig,
-                 pt_orig2sorted):
+                 pt_orig2sorted, uv_cm=None):
         self.C, self.P, self.M = C, P, M
         self.cam_shapes = tuple(cam_shapes)   # ((C_b, Q_b), ...)
         self.pt_shapes = tuple(pt_shapes)     # ((P_b, T_b), ...)
@@ -131,6 +131,9 @@ class BucketLayout:
         self.cam_orig2sorted = cam_orig2sorted
         self.pt_sorted2orig = pt_sorted2orig
         self.pt_orig2sorted = pt_orig2sorted
+        # measurement pixels pre-gathered into each cam rectangle (state-
+        # independent — hoisted out of the per-iteration linearize/error)
+        self.uv_cm = uv_cm
 
     @property
     def CQ_total(self):
@@ -156,7 +159,8 @@ class BucketLayout:
     def tree_flatten(self):
         arrs = (self.cam_ids, self.g_cam, self.cam_mask, self.pt_srt_cm,
                 self.pt_ids, self.p2c_tp, self.c2p_tp, self.cam_sorted2orig,
-                self.cam_orig2sorted, self.pt_sorted2orig, self.pt_orig2sorted)
+                self.cam_orig2sorted, self.pt_sorted2orig, self.pt_orig2sorted,
+                self.uv_cm)
         return arrs, (self.C, self.P, self.M, self.cam_shapes, self.pt_shapes)
 
     @classmethod
@@ -165,9 +169,10 @@ class BucketLayout:
 
     @staticmethod
     def build(obs_cam, obs_point, C, P, max_cam_buckets=6, max_pt_buckets=4,
-              dtype=np.float32):
+              dtype=np.float32, uv=None):
         cam = np.asarray(obs_cam, dtype=np.int64)
         pt = np.asarray(obs_point, dtype=np.int64)
+        uv = None if uv is None else np.asarray(uv)
         M = cam.shape[0]
 
         def side(ids, n, max_b, entity_tile=8, width_tile=1):
@@ -224,6 +229,7 @@ class BucketLayout:
 
         j = jnp.asarray
         cam_ids, g_cam, cam_mask, pt_srt_cm, c2p_tp = [], [], [], [], []
+        uv_cm = []
         for b, (s, e, w) in enumerate(cplan):
             cb = e - s
             sel = ob_b == b
@@ -241,6 +247,10 @@ class BucketLayout:
             cam_mask.append(j(mask))
             pt_srt_cm.append(j(psc))
             c2p_tp.append(j(cp))
+            if uv is not None:
+                uvb = np.zeros((2, cb * w), dtype=dtype)
+                uvb[:, slot_local] = uv[sel].T
+                uv_cm.append(j(uvb))
 
         pt_ids, p2c_tp = [], []
         for b, (s, e, w) in enumerate(pplan):
@@ -257,18 +267,74 @@ class BucketLayout:
             tuple(cam_mask), tuple(pt_srt_cm), tuple(pt_ids), tuple(p2c_tp),
             tuple(c2p_tp), j(corder.astype(np.int32)),
             j(cinv.astype(np.int32)), j(porder.astype(np.int32)),
-            j(pinv.astype(np.int32)))
+            j(pinv.astype(np.int32)),
+            tuple(uv_cm) if uv is not None else None)
 
 
 # ---------------------------------------------------------------------------
 # solver over the bucketed layout (math == sfm/ba.py:solve_ba_step_cm)
 # ---------------------------------------------------------------------------
 
-def linearize_ba_bl(state: BAState, obs: BAObservations, bl: BucketLayout):
+def _analytic_rJ(posesT, calsT, pts_cm, uv_cm, dtype, eps=1e-8):
+    """Closed-form reprojection residual + Jacobians on the flat slot axis,
+    fully unrolled into elementwise ops (no einsum/matmul — the measured TPU
+    precision/tile rules, PERFORMANCE.md). Exactly the jacfwd-through-
+    retraction values (oracle-tested), ~4x cheaper: one projection pass
+    instead of 12 tangent-seed chain evaluations.
+
+    Chain (right retraction pose*Exp(xi), xi=(omega, v), Pose3.h:147):
+      pc = R^T (p - t);  d pc/d omega = [pc]x,  d pc/d v = -I,  d pc/dp = R^T
+      pn = (x/z, y/z);   d pn/d pc = 1/z [[1,0,-pn_x],[0,1,-pn_y]]
+      uv = f g(r2) pn,   g = 1 + k1 r2 + k2 r2^2  (Cal3Bundler::uncalibrate)
+    Returns r [2, S], Jc [2, 9, S], Jp [2, 3, S], depth [S]."""
+    R = posesT[:, :3]                         # [3, 3, S] (rows i, cols j)
+    t = posesT[:, 3]                          # [3, S]
+    f, k1, k2 = calsT[0], calsT[1], calsT[2]
+    d = [pts_cm[j] - t[j] for j in range(3)]
+    pc = [sum(R[j][i] * d[j] for j in range(3)) for i in range(3)]  # R^T d
+    x, y, z = pc
+    z_safe = jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
+    iz = 1.0 / z_safe
+    nx, ny = x * iz, y * iz
+    r2 = nx * nx + ny * ny
+    g = 1.0 + r2 * (k1 + k2 * r2)
+    G = f * g
+    h = 2.0 * f * (k1 + 2.0 * k2 * r2)        # d(f g)/d r2 * 2
+    # A = d uv / d pn  [2x2]
+    A00 = G + h * nx * nx
+    A01 = h * nx * ny
+    A11 = G + h * ny * ny
+    # B = A @ (d pn / d pc)  [2x3]
+    B = [[A00 * iz, A01 * iz, -(A00 * nx + A01 * ny) * iz],
+         [A01 * iz, A11 * iz, -(A01 * nx + A11 * ny) * iz]]
+    r = jnp.stack([G * nx - uv_cm[0], G * ny - uv_cm[1]])
+    Jc_rows = []
+    for i in range(2):
+        Bi0, Bi1, Bi2 = B[i]
+        Jc_rows.append(jnp.stack([
+            Bi1 * z - Bi2 * y,                # d/d omega_x  (B @ [pc]x)
+            -Bi0 * z + Bi2 * x,               # d/d omega_y
+            Bi0 * y - Bi1 * x,                # d/d omega_z
+            -Bi0, -Bi1, -Bi2,                 # d/d v
+            g * (nx if i == 0 else ny),       # d/d f
+            f * r2 * (nx if i == 0 else ny),  # d/d k1
+            f * r2 * r2 * (nx if i == 0 else ny),  # d/d k2
+        ]))
+    Jc = jnp.stack(Jc_rows)                   # [2, 9, S]
+    Jp = jnp.stack([jnp.stack([
+        sum(B[i][j] * R[k][j] for j in range(3)) for k in range(3)])
+        for i in range(2)])                   # [2, 3, S]  (B @ R^T)
+    return r, Jc, Jp, z
+
+
+def linearize_ba_bl(state: BAState, obs: BAObservations, bl: BucketLayout,
+                    analytic: bool = True):
     """Per-bucket cam-major linearization. Returns lists (per cam bucket) of
     r [2, C_b, Q_b], Jc [2, 9, C_b, Q_b], Jp [2, 3, C_b, Q_b]. Camera data is
-    broadcast-tiled per bucket and the vmap runs FLAT over C_b*Q_b — see the
-    TPU nested-vmap corruption note in sfm/ba.py:linearize_ba_cm."""
+    broadcast-tiled per bucket and everything runs FLAT over C_b*Q_b — see
+    the TPU nested-vmap corruption note in sfm/ba.py:linearize_ba_cm.
+    `analytic=True` (default) uses the closed-form Jacobians (_analytic_rJ);
+    analytic=False keeps the jacfwd oracle path."""
     dtype = state.points.dtype
     pts_sorted = state.points[bl.pt_sorted2orig]         # [P, 3] sorted order
     pts_pad = jnp.concatenate([pts_sorted.T,
@@ -293,10 +359,15 @@ def linearize_ba_bl(state: BAState, obs: BAObservations, bl: BucketLayout):
             state.cam_cals.T[:, bl.cam_ids[b]][:, :, None],
             (3, cb, qb)).reshape(3, cq)
         pts_cm = pts_pad[:, bl.pt_srt_cm[b]]
-        uv_cm = uv_pad[:, bl.g_cam[b]]
-        r, Jc, Jp, depth = jax.vmap(one, in_axes=(-1, -1, -1, -1),
-                                    out_axes=(-1, -1, -1, -1))(
-            posesT, calsT, pts_cm, uv_cm)
+        uv_cm = (bl.uv_cm[b].astype(dtype) if bl.uv_cm is not None
+                 else uv_pad[:, bl.g_cam[b]])
+        if analytic:
+            r, Jc, Jp, depth = _analytic_rJ(posesT, calsT, pts_cm, uv_cm,
+                                            dtype)
+        else:
+            r, Jc, Jp, depth = jax.vmap(one, in_axes=(-1, -1, -1, -1),
+                                        out_axes=(-1, -1, -1, -1))(
+                posesT, calsT, pts_cm, uv_cm)
         w = (depth > 1e-6).astype(dtype) * bl.cam_mask[b]
         outs.append(((r * w).reshape(2, cb, qb),
                      (Jc * w).reshape(2, 9, cb, qb),
@@ -311,6 +382,11 @@ def ba_error_bl(state: BAState, obs: BAObservations, bl: BucketLayout):
                                jnp.zeros((3, 1), dtype=dtype)], axis=1)
     uv_pad = jnp.concatenate([obs.uv.T, jnp.zeros((2, 1), dtype=dtype)], axis=1)
 
+    # NOTE: the vmapped matmul chain measured 2.5x FASTER than the unrolled
+    # elementwise residual here (10.8 vs 27.7 ms at Ladybug scale): the
+    # R^T d contraction lowers onto the MXU under vmap, and the error path
+    # has no Jacobian seeds to amortize. Keep vmap for error, analytic for
+    # linearize (PERFORMANCE.md round 3).
     def one(pose, cal, point, uv):
         return _residual_one(pose, cal, point, uv), cam_geo.depth_of(pose, point)
 
@@ -323,8 +399,10 @@ def ba_error_bl(state: BAState, obs: BAObservations, bl: BucketLayout):
         calsT = jnp.broadcast_to(
             state.cam_cals.T[:, bl.cam_ids[b]][:, :, None],
             (3, cb, qb)).reshape(3, cq)
+        uv_b = (bl.uv_cm[b].astype(dtype) if bl.uv_cm is not None
+                else uv_pad[:, bl.g_cam[b]])
         r, depth = jax.vmap(one, in_axes=(-1, -1, -1, -1), out_axes=(-1, -1))(
-            posesT, calsT, pts_pad[:, bl.pt_srt_cm[b]], uv_pad[:, bl.g_cam[b]])
+            posesT, calsT, pts_pad[:, bl.pt_srt_cm[b]], uv_b)
         w = (depth > 1e-6).astype(dtype) * bl.cam_mask[b]
         r = r * w
         total = total + 0.5 * jnp.sum(r * r)
@@ -483,5 +561,6 @@ def ba_lm_iter_bl(state: BAState, obs: BAObservations, bl: BucketLayout,
 
 
 def make_bucket_layout(obs: BAObservations, C: int, P: int, **kw):
+    kw.setdefault("uv", np.asarray(obs.uv))
     return BucketLayout.build(np.asarray(obs.cam), np.asarray(obs.point),
                               C, P, **kw)

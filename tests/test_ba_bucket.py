@@ -89,3 +89,22 @@ def test_uniform_problem_degenerates_to_few_buckets():
     # 8x128-tile floor, which dominates at toy scale)
     cam_w, pt_w = bl.padding_waste(tiled=False)
     assert cam_w < 2.5 and pt_w < 2.5
+
+
+def test_analytic_jacobians_match_jacfwd():
+    """Closed-form reprojection Jacobians (unrolled elementwise) must equal
+    the jacfwd-through-retraction oracle to machine precision (the repo's
+    universal Jacobian-oracle strategy, SURVEY.md §4)."""
+    prob = synthetic.make_skewed_problem(num_cameras=24, num_points=200,
+                                         mean_track=4.0, max_track=12, seed=0)
+    state, obs = ba.state_from_bal(prob)
+    bl = ba_bucket.make_bucket_layout(obs, 24, 200)
+    lin_a = ba_bucket.linearize_ba_bl(state, obs, bl, analytic=True)
+    lin_j = ba_bucket.linearize_ba_bl(state, obs, bl, analytic=False)
+    for (ra, Ja, Pa), (rj, Jj, Pj) in zip(lin_a, lin_j):
+        np.testing.assert_allclose(np.asarray(ra), np.asarray(rj),
+                                   rtol=1e-12, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(Ja), np.asarray(Jj),
+                                   rtol=1e-12, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(Pa), np.asarray(Pj),
+                                   rtol=1e-12, atol=1e-10)
