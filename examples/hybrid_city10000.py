@@ -41,22 +41,111 @@ def main():
     from gtsam_personal_tpu.core.graph import FactorBatch, GraphBuilder
     from gtsam_personal_tpu.core.values import Values
     from gtsam_personal_tpu.geometry import se2
-    from gtsam_personal_tpu.hybrid.hybrid import HybridFactor, HybridSmoother
+    from gtsam_personal_tpu.hybrid.hybrid import (HybridFactor, HybridISAM,
+                                                  HybridSmoother)
+    from gtsam_personal_tpu.linear.noise import NoiseModel
     from gtsam_personal_tpu.nonlinear import optimizers
+    from gtsam_personal_tpu.nonlinear.isam2 import ISAM2Params
     from gtsam_personal_tpu.slam import dataset, factors as F
 
     ap = argparse.ArgumentParser()
     ap.add_argument("path", nargs="?", default=None)
     ap.add_argument("--max-lines", type=int, default=150)
     ap.add_argument("--leaves", type=int, default=4)
+    ap.add_argument("--engine", choices=["isam", "smoother"], default="isam",
+                    help="isam: bounded-cost ISAM2 engine per hypothesis; "
+                         "smoother: batch-resolve HybridSmoother")
     args = ap.parse_args()
     if args.path is None:
         args.path = dataset.find_example_data("T1_city10000_04.txt")
 
     edges = parse_city10000_hybrid(args.path, args.max_lines)
     n = max(max(ks, kt) for ks, kt, _ in edges) + 1
-    print(f"{len(edges)} edges over {n} poses "
-          f"({sum(1 for _, _, p in edges if len(p) > 1)} ambiguous)")
+    n_amb = sum(1 for _, _, p in edges if len(p) > 1)
+    print(f"{len(edges)} edges over {n} poses ({n_amb} ambiguous)")
+
+    if args.engine == "isam":
+        run_isam(edges, n, args)
+        return
+    run_smoother(edges, n, args)
+
+
+def run_isam(edges, n, args):
+    """Bounded-cost stream: one ISAM2 engine per surviving hypothesis
+    (reference: Hybrid_City10000.cpp driving the hybrid smoother, here with
+    per-update cost independent of history length)."""
+    import jax.numpy as jnp
+    from gtsam_personal_tpu.geometry import se2
+    from gtsam_personal_tpu.hybrid.hybrid import HybridISAM
+    from gtsam_personal_tpu.linear.noise import NoiseModel
+    from gtsam_personal_tpu.nonlinear.isam2 import ISAM2Params
+    from gtsam_personal_tpu.slam import factors as F
+
+    w = 1.0 / np.array([0.05, 0.05, 0.02])
+    rb = F.make_between_residual("se2")
+    pr = F.make_prior_residual("se2")
+    hi = HybridISAM(
+        max_leaves=args.leaves,
+        params=ISAM2Params(relinearize_threshold=0.01, cg_maxiter=40,
+                           cg_tol=1e-3, relin_chunk=256, dtype=np.float64,
+                           precond="chain:se2",
+                           min_var_cap=n + 1, min_fac_cap=len(edges) + 8))
+    hi.add_variable("se2", np.zeros(3))
+    hi.add_factor("prior_se2", pr, ["se2"], 3, [0], {"prior": np.zeros(3)},
+                  NoiseModel("diag", jnp.asarray([1e3, 1e3, 1e4])))
+    hi.update()
+
+    t0 = time.time()
+    added = 1
+    t_seg, seg_n, seg_hyb = time.time(), 0, 0
+    for ks, kt, poses in edges:
+        if kt == added:
+            best = hi.best_engine()
+            init = np.asarray(se2.compose(
+                jnp.asarray(best.estimate_at("se2", ks)),
+                jnp.asarray(poses[0])))
+            hi.add_variable("se2", init)
+            added += 1
+        if len(poses) == 1:
+            hi.add_factor("between_se2", rb, ["se2", "se2"], 3, [ks, kt],
+                          {"measured": poses[0]},
+                          NoiseModel("diag", jnp.asarray(w)))
+            hi.update()
+        else:
+            hi.add_hybrid_factor(
+                "between_se2", rb, ["se2", "se2"], 3, [ks, kt],
+                [{"measured": p} for p in poses],
+                NoiseModel("diag", jnp.asarray(w)),
+                mode_var=1000 + seg_hyb)
+            seg_hyb += 1
+        seg_n += 1
+        if added % 500 == 0 and seg_n > 400:
+            print(f"  poses {added:5d}: {(time.time()-t_seg)/seg_n*1e3:7.2f} "
+                  f"ms/edge ({seg_hyb} modes so far)", flush=True)
+            t_seg, seg_n = time.time(), 0
+    for _ in range(6):
+        hi.update()
+    wall = time.time() - t0
+    values, assignment, posterior = hi.estimate()
+    err = hi.best_engine().error()
+    print(f"\nhybrid-isam: {len(edges)} edges / {seg_hyb} discrete modes / "
+          f"{args.leaves} leaves in {wall:.1f}s "
+          f"({len(edges)/wall:.1f} edges/s)")
+    print(f"final error {err:.4f}")
+    print("mode assignment:", assignment)
+    top = sorted(posterior.items(), key=lambda kv: -kv[1])[:3]
+    for a, wk in top:
+        print(f"  P={wk:.3f}  modes={dict(a)}")
+
+
+def run_smoother(edges, n, args):
+    import jax.numpy as jnp
+    from gtsam_personal_tpu.core.graph import FactorBatch, GraphBuilder
+    from gtsam_personal_tpu.core.values import Values
+    from gtsam_personal_tpu.geometry import se2
+    from gtsam_personal_tpu.hybrid.hybrid import HybridFactor, HybridSmoother
+    from gtsam_personal_tpu.nonlinear import optimizers
+    from gtsam_personal_tpu.slam import factors as F
 
     # odometry-composed initial estimate (reference uses the same)
     init = np.zeros((n, 3))

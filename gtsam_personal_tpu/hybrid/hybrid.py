@@ -272,3 +272,78 @@ class HybridSmoother:
         posterior = {tuple(sorted(h[0].items())): float(wk)
                      for h, wk in zip(self.hypotheses, w)}
         return v, a, posterior
+
+
+class HybridISAM:
+    """BOUNDED-COST incremental hybrid inference: one bounded-cost ISAM2
+    engine per surviving discrete hypothesis (reference capability:
+    HybridGaussianISAM / HybridNonlinearISAM driving Hybrid_City10000).
+
+    Continuous factors stream into every surviving hypothesis's engine
+    (ISAM2 update = affected-variables relinearization + preconditioned CG,
+    cost independent of history length). A hybrid factor branches every
+    hypothesis over the new mode variable's values on CLONED engines (cheap:
+    device pytrees are immutable and shared; identical capacity trajectories
+    share all jit caches), updates each, reads its energy, and prunes back
+    to `max_leaves` — per-update cost is O(max_leaves * modes) bounded
+    engine updates, never a full-graph re-solve and never exponential in
+    mode variables."""
+
+    def __init__(self, max_leaves: int = 4, params=None):
+        from gtsam_personal_tpu.nonlinear.isam2 import ISAM2, ISAM2Params
+        self.max_leaves = max_leaves
+        self.params = params or ISAM2Params()
+        # (assignment dict, engine, energy)
+        self.hypotheses = [({}, ISAM2(self.params), 0.0)]
+
+    def add_variable(self, group: str, value) -> int:
+        i = None
+        for _, e, _ in self.hypotheses:
+            i = e.add_variable(group, value)
+        return i
+
+    def add_factor(self, name, residual_fn, groups, rdim, idx, meas, noise):
+        for _, e, _ in self.hypotheses:
+            e.add_factor(name, residual_fn, groups, rdim, idx, meas, noise)
+
+    def update(self):
+        for _, e, _ in self.hypotheses:
+            e.update()
+
+    def add_hybrid_factor(self, name, residual_fn, groups, rdim, idx,
+                          meas_modes: Sequence[dict], noise, mode_var: int,
+                          mode_prior: Optional[Sequence[float]] = None):
+        """Branch every hypothesis over the new mode variable, update each
+        branch's engine, score, prune. `meas_modes[m]` is the measurement
+        dict for mode m; `noise` may be a single NoiseModel or one per mode;
+        `mode_prior[m]` an optional prior probability."""
+        M = len(meas_modes)
+        noises = noise if isinstance(noise, (list, tuple)) else [noise] * M
+        prior_e = (np.zeros(M) if mode_prior is None
+                   else -np.log(np.clip(np.asarray(mode_prior, float),
+                                        1e-300, None)))
+        cand = []
+        for a, e, _ in self.hypotheses:
+            for m in range(M):
+                e2 = e.clone() if m < M - 1 else e
+                e2.add_factor(name, residual_fn, groups, rdim, idx,
+                              meas_modes[m], noises[m])
+                e2.update()
+                cand.append(({**a, mode_var: m}, e2,
+                             e2.error() + prior_e[m]))
+        cand.sort(key=lambda t: t[2])
+        self.hypotheses = cand[:self.max_leaves]
+        return self.hypotheses[0]
+
+    def estimate(self):
+        """(best engine's Values, best assignment, normalized posterior)."""
+        a, e, _ = self.hypotheses[0]
+        es = np.asarray([h[2] for h in self.hypotheses])
+        w = np.exp(-(es - es.min()))
+        w = w / w.sum()
+        posterior = {tuple(sorted(h[0].items())): float(wk)
+                     for h, wk in zip(self.hypotheses, w)}
+        return e.calculate_estimate(), a, posterior
+
+    def best_engine(self):
+        return self.hypotheses[0][1]

@@ -410,6 +410,38 @@ class ISAM2:
         self._flush_staged()
         return float(_isam2_error(self._state))
 
+    def clone(self) -> "ISAM2":
+        """Cheap fork of the engine (hypothesis branching for hybrid
+        inference). Device pytrees (_state, _pcache) are immutable —
+        updates always REPLACE them — so they are shared; host staging
+        mirrors are copied. Clones with identical capacity trajectories
+        share all jit caches. Call after update()/error() so nothing is
+        staged."""
+        c = ISAM2(self.params)
+        c._pcache = self._pcache
+        c._updates_since_refresh = self._updates_since_refresh
+        c._theta_host = {g: a.copy() for g, a in self._theta_host.items()}
+        c._nvar = dict(self._nvar)
+        c._cap_n = dict(self._cap_n)
+        c._pending_vars = {g: list(v) for g, v in self._pending_vars.items()}
+        c._batch_keys = list(self._batch_keys)
+        c._hosts = {}
+        for k, h in self._hosts.items():
+            c._hosts[k] = {
+                "residual_fn": h["residual_fn"], "cap": h["cap"], "k": h["k"],
+                "idx": None if h["idx"] is None else h["idx"].copy(),
+                "meas": (None if h["meas"] is None
+                         else {mk: mv.copy() for mk, mv in h["meas"].items()}),
+                "noise_data": (None if h["noise_data"] is None
+                               else h["noise_data"].copy()),
+                "noise_k": (None if h["noise_k"] is None
+                            else h["noise_k"].copy()),
+                "pending": list(h["pending"]),
+            }
+        c._state = self._state
+        c._rebuild = self._rebuild
+        return c
+
     def estimate_array(self, group: str) -> np.ndarray:
         return np.asarray(self.calculate_estimate()[group])
 
@@ -425,7 +457,11 @@ class ISAM2:
 # jitted pieces
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("count",), donate_argnums=(0, 1))
+# NOTE: no buffer donation here — ISAM2.clone() (hybrid hypothesis
+# branching) shares the device state across engines, and donating theta/
+# delta would invalidate the sibling engines' references ("Buffer has been
+# deleted or donated"). The extra copy is ~1 MB per injection.
+@partial(jax.jit, static_argnames=("count",))
 def _append_vars(theta_g, delta_g, nvar_g, ids, vals, count):
     theta_g = theta_g.at[ids].set(vals, mode="drop")
     delta_g = delta_g.at[:, ids].set(0.0, mode="drop")

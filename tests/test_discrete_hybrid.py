@@ -266,3 +266,102 @@ class TestHybridBeam:
         assert a == true_modes
         np.testing.assert_allclose(np.asarray(v["se2"])[:, :2],
                                    truth[:, :2], atol=0.1)
+
+
+class TestHybridISAM:
+    def test_matches_enumeration_on_ambiguous_loops(self):
+        """Bounded-cost HybridISAM (one ISAM2 engine per hypothesis) must
+        pick the same mode assignment as exact enumeration and reach the
+        same optimum on a chain with ambiguous loop closures (reference
+        capability: HybridGaussianISAM / Hybrid_City10000)."""
+        import jax.numpy as jnp
+        from gtsam_personal_tpu.geometry import se2
+        from gtsam_personal_tpu.hybrid.hybrid import (HybridFactor,
+                                                      HybridFactorGraph,
+                                                      HybridISAM)
+        from gtsam_personal_tpu.nonlinear.isam2 import ISAM2Params
+        from gtsam_personal_tpu.nonlinear import optimizers
+
+        rng = np.random.default_rng(7)
+        n = 8
+        truth = np.zeros((n, 3))
+        for i in range(1, n):
+            truth[i] = np.asarray(se2.compose(
+                jnp.asarray(truth[i - 1]), jnp.asarray([1.0, 0.0, 0.15])))
+
+        rb = F.make_between_residual("se2")
+        pr = F.make_prior_residual("se2")
+        sig = np.array([0.05, 0.05, 0.02])
+        w = 1.0 / sig
+
+        def between_meas(i, j):
+            return np.asarray(se2.between(jnp.asarray(truth[i]),
+                                          jnp.asarray(truth[j]))) + \
+                rng.normal(scale=0.005, size=3)
+
+        # one shared measurement stream for both solvers
+        odo = [between_meas(i - 1, i) for i in range(1, n)]
+        init = [truth[i] + rng.normal(scale=0.05, size=3) for i in range(1, n)]
+        amb = [(1, 4), (2, 6), (0, 7)]
+        closures = []
+        for (i, j) in amb:
+            good = between_meas(i, j)
+            closures.append((i, j, good, good + np.array([2.0, -1.5, 0.8])))
+
+        # --- bounded-cost hybrid ISAM ---
+        hi = HybridISAM(max_leaves=4,
+                        params=ISAM2Params(relinearize_threshold=0.0,
+                                           cg_maxiter=60, cg_tol=1e-10,
+                                           dtype=np.float64))
+        hi.add_variable("se2", truth[0])
+        hi.add_factor("prior_se2", pr, ["se2"], 3, [0],
+                      {"prior": np.zeros(3)},
+                      NoiseModel("diag", jnp.asarray(w)))
+        hi.update()
+        for i in range(1, n):
+            hi.add_variable("se2", init[i - 1])
+            hi.add_factor("between_se2", rb, ["se2", "se2"], 3, [i - 1, i],
+                          {"measured": odo[i - 1]},
+                          NoiseModel("diag", jnp.asarray(w)))
+            hi.update()
+        for k, (i, j, good, bad) in enumerate(closures):
+            hi.add_hybrid_factor(
+                "between_se2", rb, ["se2", "se2"], 3, [i, j],
+                [{"measured": good}, {"measured": bad}],
+                NoiseModel("diag", jnp.asarray(w)), mode_var=100 + k)
+        for _ in range(6):        # final polish (as the streaming examples do)
+            hi.update()
+        vals_hi, assign_hi, post = hi.estimate()
+
+        # every ambiguous closure must resolve to the correct mode
+        assert all(assign_hi[100 + k] == 0 for k in range(len(amb))), assign_hi
+        assert post[tuple(sorted(assign_hi.items()))] > 0.9
+
+        # --- exact enumeration oracle on the SAME measurements ---
+        b = GraphBuilder()
+        F.add_prior(b, "se2", 0, np.zeros(3), {"kind": "diag", "data": w})
+        hg = HybridFactorGraph()
+        for i in range(1, n):
+            F.add_between(b, "se2", i - 1, i, odo[i - 1],
+                          {"kind": "diag", "data": w})
+        for bb in b.build(dtype=jnp.float64).batches:
+            hg.add_continuous(bb)
+        for k, (i, j, good, bad) in enumerate(closures):
+            base = GraphBuilder()
+            F.add_between(base, "se2", i, j, good, {"kind": "diag", "data": w})
+            bb = base.build(dtype=jnp.float64).batches[0]
+            meas = jnp.asarray(np.stack([good, bad])[:, None])
+            hg.add_hybrid(HybridFactor(
+                FactorBatch(bb.name, bb.residual_fn, bb.groups, 3, bb.idx,
+                            {"measured": meas}, bb.noise),
+                mode_var=100 + k, num_modes=2))
+        initial = Values({"se2": jnp.asarray(truth)})
+        vals_ex, assign_ex, _ = hg.solve(
+            initial, params=optimizers.Params(max_iterations=30))
+        assert dict(assign_ex) == dict(assign_hi)
+
+        # same continuous optimum (modes agree -> same graph)
+        e_hi = float(hg.graph_at(assign_hi).error(
+            Values({"se2": jnp.asarray(np.asarray(vals_hi["se2"]))})))
+        e_ex = float(hg.graph_at(assign_ex).error(vals_ex))
+        np.testing.assert_allclose(e_hi, e_ex, rtol=1e-4, atol=1e-6)
