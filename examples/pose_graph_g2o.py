@@ -41,7 +41,10 @@ def main():
         print(f"loaded {n} poses, {graph.num_factors} factors "
               f"({time.time()-t0:.2f}s)")
         print("odometry error:", float(optimizers.graph_error(graph, initial)))
-        initial = initialize.chordal_init(graph, n)
+        # host-side fp64 chordal relaxation regardless of compute dtype: the
+        # fp32 chordal point lands LM in a measurably worse basin
+        # (PERFORMANCE.md round 3: sphere2500 gap 2.8% -> 1.5%)
+        initial = initialize.chordal_init_f64(graph, n)
         print("chordal-init error:", float(optimizers.graph_error(graph, initial)))
     else:
         graph, initial = dataset.load_2d(args.path)

@@ -295,7 +295,7 @@ def _solve_body(dims, axis, cg_maxiter, cg_tol, skip_collectives,
     Gc = jnp.stack([
         sum(jnp.sum(T1[3 * a + c] * Wt[3 * dd + c], axis=-1) for c in range(3))
         for a in range(9) for dd in range(9)]).T.reshape(Cl, 9, 9)
-    Ls = jnp.linalg.cholesky(Hcc - Gc + (lam + 1e-8) * jnp.eye(9, dtype=dtype))
+    Ls = bk.safe_chol_blocks(Hcc - Gc, lam)
     cho_apply = jax.vmap(lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
     precond = lambda x: cho_apply(Ls, x.T).T
 

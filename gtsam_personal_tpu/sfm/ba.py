@@ -251,7 +251,7 @@ def solve_ba_step(state: BAState, obs: BAObservations, layout, lam,
     ], axis=1)                                          # [M, 81]
     Gc = _segsum(G, obs.cam, C).reshape(C, 9, 9)
     eye9 = jnp.eye(9, dtype=dtype)
-    Ls = jnp.linalg.cholesky(Hcc - Gc + (lam + 1e-8) * eye9)
+    Ls = bk.safe_chol_blocks(Hcc - Gc, lam)
     cho_apply = jax.vmap(lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
     precond = lambda x: cho_apply(Ls, x)
 
@@ -354,7 +354,7 @@ def solve_ba_step_fm(state: BAState, obs: BAObservations, layout, lam,
         for a in range(9) for d in range(9)], axis=-1)  # [M, 81]
     Gc = _segsum(G, obs.cam, C).reshape(C, 9, 9)
     eye9 = jnp.eye(9, dtype=dtype)
-    Ls = jnp.linalg.cholesky(Hcc - Gc + (lam + 1e-8) * eye9)
+    Ls = bk.safe_chol_blocks(Hcc - Gc, lam)
     cho_apply = jax.vmap(lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
     precond = lambda x: cho_apply(Ls, x.T).T            # x [9, C]
 
@@ -490,7 +490,7 @@ def solve_ba_step_cm(state: BAState, obs: BAObservations, layout, lam,
         sum(jnp.sum(T1[3 * a + c] * Wt[3 * d + c], axis=-1) for c in range(3))
         for a in range(9) for d in range(9)]).T.reshape(C, 9, 9)
     eye9 = jnp.eye(9, dtype=dtype)
-    Ls = jnp.linalg.cholesky(Hcc - Gc + (lam + 1e-8) * eye9)
+    Ls = bk.safe_chol_blocks(Hcc - Gc, lam)
     cho_apply = jax.vmap(lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
     precond = lambda x: cho_apply(Ls, x.T).T            # x [9, C]
 

@@ -510,7 +510,7 @@ def solve_ba_step_bl(state: BAState, obs: BAObservations, bl: BucketLayout,
     Hcc = jnp.concatenate(Hcc_parts)
     Gc = jnp.concatenate(Gc_parts)
     eye9 = jnp.eye(9, dtype=dtype)
-    Ls = jnp.linalg.cholesky(Hcc - Gc + (lam + 1e-8) * eye9)
+    Ls = bk.safe_chol_blocks(Hcc - Gc, lam)
     cho_apply = jax.vmap(lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
     precond = lambda x: cho_apply(Ls, x.T).T              # x [9, C]
 

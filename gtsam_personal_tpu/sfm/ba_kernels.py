@@ -123,3 +123,21 @@ def add_scaled_identity_33_T(Hflat, lam):
     for k in (0, 4, 8):
         out = out.at[k].add(lam)
     return out
+
+
+def safe_chol_blocks(H, lam, jitter=1e-8):
+    """NaN-guarded batched Cholesky of damped preconditioner blocks
+    [C, d, d] -> lower factors [C, d, d].
+
+    The Schur block Hcc - Gc is PSD in exact arithmetic but can come out
+    slightly indefinite in fp32 (measured: 64-cam skewed problem, fp32 —
+    cholesky NaN poisoned the whole CG solve). Blocks whose factor contains
+    a non-finite entry fall back to the diagonal preconditioner
+    sqrt(clip(diag) + lam)."""
+    d = H.shape[-1]
+    eye = jnp.eye(d, dtype=H.dtype)
+    Ls = jnp.linalg.cholesky(H + (lam + jitter) * eye)
+    bad = ~jnp.all(jnp.isfinite(Ls), axis=(-2, -1))
+    diag = jnp.clip(jnp.diagonal(H, axis1=-2, axis2=-1), 0.0) + lam + jitter
+    Ld = jnp.sqrt(diag)[..., :, None] * eye
+    return jnp.where(bad[..., None, None], Ld, Ls)

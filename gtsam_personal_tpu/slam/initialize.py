@@ -189,3 +189,88 @@ def lago_init_2d(graph: FactorGraph, num_poses: int) -> Values:
     t = np.asarray(t_sol["t2"])
     return Values({"se2": jnp.asarray(
         np.concatenate([t, theta[:, None]], axis=1).astype(dtype))})
+
+
+def chordal_init_f64(graph: FactorGraph, num_poses: int,
+                     group: str = "se3") -> Values:
+    """Host-side fp64 chordal initialization (scipy sparse normal
+    equations), independent of the process compute dtype.
+
+    Measured motivation (PERFORMANCE.md round 3): on sphere2500 the fp32
+    chordal point lands the subsequent LM in a worse basin (final error
+    2.8% above the fp64 fixed point); initializing the fp32 TPU run from
+    the fp64 chordal point cuts the gap to 1.5%. Rotations: R_j ~= R_i R_ij
+    relaxed over the 9 entries (row-major vec: the edge block is
+    I_3 (x) R_ij^T); translations linear with rotations fixed (reference:
+    slam/InitializePose3.h:36-91)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    edges = []
+    for b in graph.batches:
+        if b.name == f"between_{group}" and group == "se3":
+            edges.append((np.asarray(b.idx), np.asarray(b.meas["measured"])))
+    if not edges:
+        raise ValueError("no between_se3 factors found")
+    ij = np.concatenate([e[0] for e in edges], axis=0)
+    T = np.concatenate([e[1] for e in edges], axis=0).astype(np.float64)
+    n = num_poses
+    K = ij.shape[0]
+
+    # ---- rotations: rows [x_j - (I3 (x) Rij^T) x_i] + anchor prior ----
+    rows, cols, vals = [], [], []
+    base = np.arange(9)
+    for k in range(K):
+        i, j = int(ij[k, 0]), int(ij[k, 1])
+        Rij = T[k, :, :3]
+        r0 = 9 * k
+        rows.extend(r0 + base)
+        cols.extend(9 * j + base)
+        vals.extend(np.ones(9))
+        for r in range(3):
+            for c in range(3):
+                for kk in range(3):
+                    rows.append(r0 + 3 * r + c)
+                    cols.append(9 * i + 3 * r + kk)
+                    vals.append(-Rij[kk, c])
+    # anchor: x_0 = vec(I)
+    r0 = 9 * K
+    rows.extend(r0 + base)
+    cols.extend(base)
+    vals.extend(1e3 * np.ones(9))
+    b_vec = np.zeros(9 * K + 9)
+    b_vec[r0 + base] = 1e3 * np.eye(3).reshape(9)
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(9 * K + 9, 9 * n))
+    AtA = (A.T @ A).tocsc() + 1e-10 * sp.eye(9 * n)
+    x = spla.spsolve(AtA, A.T @ b_vec)
+    Rs = x.reshape(n, 3, 3)
+    # project to SO(3) (Rot3::ClosestTo)
+    U, _, Vt = np.linalg.svd(Rs)
+    det = np.linalg.det(U @ Vt)
+    Ufix = U.copy()
+    Ufix[:, :, 2] *= np.sign(det)[:, None]
+    R = Ufix @ Vt
+
+    # ---- translations with rotations fixed: t_j - t_i = R_i dt_ij ----
+    rows, cols, vals = [], [], []
+    b3 = np.arange(3)
+    rhs = np.zeros(3 * K + 3)
+    for k in range(K):
+        i, j = int(ij[k, 0]), int(ij[k, 1])
+        r0 = 3 * k
+        rows.extend(r0 + b3)
+        cols.extend(3 * j + b3)
+        vals.extend(np.ones(3))
+        rows.extend(r0 + b3)
+        cols.extend(3 * i + b3)
+        vals.extend(-np.ones(3))
+        rhs[r0 + b3] = R[i] @ T[k, :, 3]
+    rows.extend(3 * K + b3)
+    cols.extend(b3)
+    vals.extend(1e3 * np.ones(3))
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(3 * K + 3, 3 * n))
+    AtA = (A.T @ A).tocsc() + 1e-10 * sp.eye(3 * n)
+    t = spla.spsolve(AtA, A.T @ rhs).reshape(n, 3)
+
+    poses = np.concatenate([R, t[:, :, None]], axis=2)
+    return Values({"se3": jnp.asarray(poses)})
