@@ -168,7 +168,7 @@ class BucketLayout:
         return cls(*aux, *children)
 
     @staticmethod
-    def build(obs_cam, obs_point, C, P, max_cam_buckets=6, max_pt_buckets=4,
+    def build(obs_cam, obs_point, C, P, max_cam_buckets=8, max_pt_buckets=6,
               dtype=np.float32, uv=None):
         cam = np.asarray(obs_cam, dtype=np.int64)
         pt = np.asarray(obs_point, dtype=np.int64)
