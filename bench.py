@@ -55,8 +55,8 @@ def main():
 
     bl = ba_bucket.make_bucket_layout(
         obs, state.cam_poses.shape[0], state.points.shape[0],
-        max_cam_buckets=int(os.environ.get("BENCH_CAMB", "6")),
-        max_pt_buckets=int(os.environ.get("BENCH_PTB", "4")))
+        max_cam_buckets=int(os.environ.get("BENCH_CAMB", "8")),
+        max_pt_buckets=int(os.environ.get("BENCH_PTB", "6")))
     cam_w, pt_w = bl.padding_waste()
     print(f"# obs={bl.M} cam_buckets={bl.cam_shapes} pt_buckets={bl.pt_shapes}"
           f" cam_waste={cam_w:.2f}x pt_waste={pt_w:.2f}x", file=sys.stderr)
