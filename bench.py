@@ -70,31 +70,40 @@ def main():
     cg = int(os.environ.get("BENCH_CG", "3"))
     lam = jnp.float32(1e-3)
     err0 = jnp.float32(err_init)
-    # compile + warmup (block_until_ready is unreliable on the axon backend:
-    # sync via a host transfer)
-    st, lam1, err = ba_bucket.ba_lm_iter_bl(state, obs, bl, lam, err0,
-                                            cg_maxiter=cg)
-    float(err)
-
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    # The timed region is ONE dispatch of `iters` LM iterations (lax.scan in
+    # ba_lm_run_bl): per-dispatch tunnel latency on the axon backend is tens
+    # of ms and NOT chip work, so a per-iteration dispatch loop times the
+    # tunnel, not the TPU. compile + warmup first (block_until_ready is
+    # unreliable on axon: sync via a host transfer).
+    _, _, errw = ba_bucket.ba_lm_run_bl(state, obs, bl, lam, err0,
+                                        n_iters=iters, cg_maxiter=cg)
+    float(errw)
+
     t0 = time.perf_counter()
-    st2, lamc, errc = state, lam, err0
-    for _ in range(iters):
-        st2, lamc, errc = ba_bucket.ba_lm_iter_bl(st2, obs, bl, lamc, errc,
-                                                  cg_maxiter=cg)
+    st2, lamc, errc = ba_bucket.ba_lm_run_bl(state, obs, bl, lam, err0,
+                                             n_iters=iters, cg_maxiter=cg)
     err_final = float(errc)
     dt = time.perf_counter() - t0
 
     # quality gate: bench.py is the only check that runs on the real TPU;
     # CPU tests cannot catch TPU-only numeric corruption (see CLAUDE.md on
     # the silent bf16 Jacobian corruption found via a bench regression).
+    # explicit raises, not asserts: `python -O` strips asserts, which would
+    # silently disable the only numeric check that runs on real TPU hardware
     rms_px = float(np.sqrt(2.0 * err_final / bl.M))
-    assert np.isfinite(err_final), f"non-finite BA error {err_final}"
-    assert err_final < err_init, (
-        f"BA error did not decrease: {err_init} -> {err_final}")
-    assert rms_px < 1.3, (
-        f"rms reprojection {rms_px:.3f}px above gate (1.3; the 1px-noise "
-        f"floor is ~1.12px — regression if 10 LM iterations can't reach it)")
+    if not np.isfinite(err_final):
+        raise RuntimeError(f"bench quality gate: non-finite BA error {err_final}")
+    if not err_final < err_init:
+        raise RuntimeError(
+            f"bench quality gate: BA error did not decrease: "
+            f"{err_init} -> {err_final}")
+    if not rms_px < 1.3:
+        raise RuntimeError(
+            f"bench quality gate: rms reprojection {rms_px:.3f}px above gate "
+            f"(1.3; the 1px-noise floor is ~1.12px — regression if 10 LM "
+            f"iterations can't reach it)")
     print(f"# err {err_init:.1f} -> {err_final:.1f}, rms {rms_px:.3f}px",
           file=sys.stderr)
 

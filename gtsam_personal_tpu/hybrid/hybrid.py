@@ -78,6 +78,18 @@ class HybridFactor:
                            self.batch.groups, self.batch.rdim,
                            self.batch.idx, meas, noise)
 
+    def log_normalizer(self, m: int) -> float:
+        """log|det W_m| when the noise is per-mode (data carries a leading
+        modes axis); 0 for shared noise, where the constant cancels across
+        modes. Joins the hypothesis energy so modes with different noise are
+        scored by true negative log-likelihood (reference:
+        HybridGaussianFactor logNormalizers)."""
+        data = self.batch.noise.data
+        if data is None or data.ndim < 1 or data.shape[0] != self.num_modes:
+            return 0.0
+        from gtsam_personal_tpu.linear.noise import log_det_whitener
+        return log_det_whitener(self.at_mode(m).noise)
+
 
 class HybridFactorGraph:
     """Continuous factors + hybrid (mode-dependent) factors + discrete priors."""
@@ -151,6 +163,9 @@ class HybridFactorGraph:
         for v, m in assignment.items():
             if v in self.discrete_priors:
                 e -= float(np.log(max(self.discrete_priors[v][m], 1e-300)))
+        for hf in self.hybrid:
+            if hf.mode_var in assignment:
+                e -= hf.log_normalizer(assignment[hf.mode_var])
         return e
 
     def solve_beam(self, initial: Values, max_leaves: int = 8,
@@ -322,6 +337,12 @@ class HybridISAM:
         prior_e = (np.zeros(M) if mode_prior is None
                    else -np.log(np.clip(np.asarray(mode_prior, float),
                                         1e-300, None)))
+        # Gaussian log-normalizer: raw least-squares energies are comparable
+        # across modes only when per-mode noises are identical; otherwise the
+        # -log|det W_m| constant must join the hypothesis energy (reference:
+        # HybridGaussianFactor logNormalizers).
+        from gtsam_personal_tpu.linear.noise import log_det_whitener
+        prior_e = prior_e - np.array([log_det_whitener(nm) for nm in noises])
         cand = []
         for a, e, _ in self.hypotheses:
             for m in range(M):

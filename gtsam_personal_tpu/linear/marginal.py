@@ -101,6 +101,7 @@ def marginalize(graph: FactorGraph, values: Values,
     for b, rows in involved:
         sub = _select(b, rows)
         lb = linearize_batch(sub, values)
+        sgn = getattr(lb, "sign", 1.0)  # AntiFactor batches SUBTRACT info
         idx = np.asarray(sub.idx)
         for k in range(idx.shape[0]):
             Js = [np.asarray(lb.Js[s][k]) for s in range(len(b.groups))]
@@ -108,9 +109,9 @@ def marginalize(graph: FactorGraph, values: Values,
             cols = [offs[(g, int(idx[k, s]))] for s, g in enumerate(b.groups)]
             dims = [manifolds.get(g).dim for g in b.groups]
             for s in range(len(b.groups)):
-                gv[cols[s]:cols[s] + dims[s]] += Js[s].T @ r
+                gv[cols[s]:cols[s] + dims[s]] += sgn * (Js[s].T @ r)
                 for t in range(len(b.groups)):
-                    H[cols[s]:cols[s] + dims[s], cols[t]:cols[t] + dims[t]] += Js[s].T @ Js[t]
+                    H[cols[s]:cols[s] + dims[s], cols[t]:cols[t] + dims[t]] += sgn * (Js[s].T @ Js[t])
 
     # Schur complement onto the boundary
     Hmm = H[:Dm, :Dm] + 1e-9 * np.eye(Dm)
@@ -174,6 +175,7 @@ def graph_info_on(graph: FactorGraph, values: Values,
     gv = np.zeros(D)
     for b in graph.batches:
         lb = linearize_batch(b, values)
+        sgn = getattr(lb, "sign", 1.0)  # AntiFactor batches SUBTRACT info
         idx = np.asarray(b.idx)
         dims = [manifolds.get(g).dim for g in b.groups]
         for k in range(idx.shape[0]):
@@ -181,10 +183,10 @@ def graph_info_on(graph: FactorGraph, values: Values,
             r = np.asarray(lb.r[k])
             cols = [offs[(g, int(idx[k, s]))] for s, g in enumerate(b.groups)]
             for s in range(len(b.groups)):
-                gv[cols[s]:cols[s] + dims[s]] += Js[s].T @ r
+                gv[cols[s]:cols[s] + dims[s]] += sgn * (Js[s].T @ r)
                 for t in range(len(b.groups)):
                     H[cols[s]:cols[s] + dims[s],
-                      cols[t]:cols[t] + dims[t]] += Js[s].T @ Js[t]
+                      cols[t]:cols[t] + dims[t]] += sgn * (Js[s].T @ Js[t])
 
     if D == Db:
         return H, gv

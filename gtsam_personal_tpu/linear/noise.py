@@ -172,6 +172,35 @@ def whiten_system(noise: NoiseModel, r, Js):
     return rw, Jw
 
 
+def log_det_whitener(noise: NoiseModel) -> float:
+    """Host-side log|det W| of the whitening matrix W (r_w = W r), summed
+    over the batch if the noise data is per-factor.
+
+    The Gaussian negative log-likelihood is
+      0.5 ||W r||^2 - log|det W| + (rdim/2) log 2pi,
+    so the -log|det W| term is what distinguishes hypotheses whose noise
+    models DIFFER (reference: HybridGaussianFactor's logNormalizers,
+    hybrid/HybridGaussianFactor.cpp) — raw least-squares energies are only
+    comparable across modes when this constant is included."""
+    import numpy as np
+    if noise.kind == "unit":
+        return 0.0
+    data = np.asarray(noise.data)
+    if noise.kind == "diag":
+        return float(np.sum(np.log(data)))
+    if noise.kind == "constrained":
+        # penalty form: constrained rows carry weight sqrt(mu)
+        mu = float(np.asarray(noise.k)) if noise.k is not None else 1000.0
+        w = np.where(data > 0, 1.0 / np.where(data > 0, data, 1.0),
+                     np.sqrt(mu))
+        return float(np.sum(np.log(w)))
+    # full: data = S (sqrt information), possibly batched
+    if data.ndim == 2:
+        return float(np.linalg.slogdet(data)[1])
+    return float(np.sum([np.linalg.slogdet(data[i])[1]
+                         for i in range(data.shape[0])]))
+
+
 def error(noise: NoiseModel, r):
     """Total error contribution: 0.5||r_w||^2, or rho(||r_w||) for robust
     models (reference: NoiseModelFactor::error / Robust loss semantics).

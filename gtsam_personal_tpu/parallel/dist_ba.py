@@ -107,7 +107,11 @@ def build_dist_layout(obs: ba.BAObservations, C: int, P: int, n: int,
         np.maximum.at(dmax, pt_orig, dev)
         observed = dmax >= 0
         shared = observed & (dmin != dmax)
-        owner = np.where(shared | ~observed, -1, dmin)  # unobserved -> boundary
+        # unobserved points carry no information and need no collective:
+        # park them in device 0's exclusive range, NOT the boundary prefix
+        # (boundary points are psum'd EVERY CG iteration — dead/padded slots
+        # there silently inflate the per-iter collective payload)
+        owner = np.where(shared, -1, np.where(observed, dmin, 0))
         order = []
         boundary_ids = np.where(owner < 0)[0]
         order.append(boundary_ids)

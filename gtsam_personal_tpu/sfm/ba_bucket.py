@@ -537,6 +537,20 @@ def ba_try_step_bl(state: BAState, obs: BAObservations, bl: BucketLayout,
     return new_state, ba_error_bl(new_state, obs, bl)
 
 
+def _lm_iter_body(state: BAState, obs: BAObservations, bl: BucketLayout,
+                  lam, err, cg_maxiter, lam_lo, lam_hi):
+    xc, xp = solve_ba_step_bl(state, obs, bl, lam, cg_maxiter=cg_maxiter)
+    trial = retract_ba(state, xc, xp)
+    err_t = ba_error_bl(trial, obs, bl)
+    ok = jnp.isfinite(err_t) & (err_t < err)
+    new_state = jax.tree.map(
+        lambda a, b: jnp.where(ok, a, b), trial, state)
+    new_err = jnp.where(ok, err_t, err)
+    new_lam = jnp.where(ok, jnp.maximum(lam * 0.5, lam_lo),
+                        jnp.minimum(lam * 4.0, lam_hi))
+    return new_state, new_lam, new_err
+
+
 @partial(jax.jit, static_argnames=("cg_maxiter",))
 def ba_lm_iter_bl(state: BAState, obs: BAObservations, bl: BucketLayout,
                   lam, err, cg_maxiter=100,
@@ -548,16 +562,27 @@ def ba_lm_iter_bl(state: BAState, obs: BAObservations, bl: BucketLayout,
     err) through repeated calls with NO host synchronization; unlike a
     fixed-lambda try-step sequence this cannot diverge, so it is the honest
     thing to time (bench.py)."""
-    xc, xp = solve_ba_step_bl(state, obs, bl, lam, cg_maxiter=cg_maxiter)
-    trial = retract_ba(state, xc, xp)
-    err_t = ba_error_bl(trial, obs, bl)
-    ok = jnp.isfinite(err_t) & (err_t < err)
-    new_state = jax.tree.map(
-        lambda a, b: jnp.where(ok, a, b), trial, state)
-    new_err = jnp.where(ok, err_t, err)
-    new_lam = jnp.where(ok, jnp.maximum(lam * 0.5, lam_lo),
-                        jnp.minimum(lam * 4.0, lam_hi))
-    return new_state, new_lam, new_err
+    return _lm_iter_body(state, obs, bl, lam, err, cg_maxiter, lam_lo, lam_hi)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "cg_maxiter"))
+def ba_lm_run_bl(state: BAState, obs: BAObservations, bl: BucketLayout,
+                 lam, err, n_iters, cg_maxiter=100,
+                 lam_lo=1e-6, lam_hi=1e3):
+    """`n_iters` full LM iterations in ONE dispatch: lax.scan over the
+    ba_lm_iter_bl body. On the axon tunnel each dispatch pays tens of ms of
+    host round-trip latency; a per-iteration dispatch loop therefore times
+    tunnel jitter, not the chip (BENCH_r03 recorded 110 ms/iter for work the
+    device does in ~77 ms). One scan amortizes that latency across all
+    iterations — and is how a real user runs the optimizer anyway
+    (optimize_lm_jit)."""
+    def body(carry, _):
+        st, lm, er = carry
+        return _lm_iter_body(st, obs, bl, lm, er,
+                             cg_maxiter, lam_lo, lam_hi), None
+    (st, lm, er), _ = jax.lax.scan(body, (state, lam, err), None,
+                                   length=n_iters)
+    return st, lm, er
 
 
 def make_bucket_layout(obs: BAObservations, C: int, P: int, **kw):

@@ -108,3 +108,28 @@ def test_analytic_jacobians_match_jacfwd():
                                    rtol=1e-12, atol=1e-9)
         np.testing.assert_allclose(np.asarray(Pa), np.asarray(Pj),
                                    rtol=1e-12, atol=1e-10)
+
+
+def test_lm_run_scan_matches_iter_loop():
+    """ba_lm_run_bl (single-dispatch lax.scan, what bench.py times) must
+    reproduce the per-call ba_lm_iter_bl loop exactly."""
+    prob = _small_skewed(seed=5)
+    state, obs = ba.state_from_bal(prob)
+    bl = ba_bucket.make_bucket_layout(obs, state.cam_poses.shape[0],
+                                      state.points.shape[0], dtype=np.float64)
+    lam0 = jnp.asarray(1e-3, state.points.dtype)
+    err0 = ba_bucket.ba_error_bl(state, obs, bl)
+
+    st_l, lam_l, err_l = state, lam0, err0
+    for _ in range(4):
+        st_l, lam_l, err_l = ba_bucket.ba_lm_iter_bl(st_l, obs, bl, lam_l,
+                                                     err_l, cg_maxiter=5)
+    st_s, lam_s, err_s = ba_bucket.ba_lm_run_bl(state, obs, bl, lam0, err0,
+                                                n_iters=4, cg_maxiter=5)
+    assert float(err_s) == pytest.approx(float(err_l), rel=1e-12)
+    assert float(lam_s) == pytest.approx(float(lam_l), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(st_s.points),
+                               np.asarray(st_l.points), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(st_s.cam_poses),
+                               np.asarray(st_l.cam_poses), rtol=1e-10)
+    assert float(err_s) < float(err0)
