@@ -6,8 +6,10 @@ SKEW: power-law track lengths and Zipf per-camera observation counts
 (sfm/synthetic.py:make_skewed_problem — the real Ladybug file cannot be
 fetched in this environment; round-1 used a uniform stand-in, VERDICT r1
 flagged that as dishonest because global-max padding wastes ~116x on skewed
-data). The solver is the bucketed dual-layout engine (sfm/ba_bucket.py) whose
-padding waste stays <4x under this skew.
+data). The solver is the packed-tile engine (sfm/ba_pack.py): cameras wrap
+over 128-lane rows / stack up to 4 per row, points stack up to 8 per 8-row
+tile column or wrap across columns — physical padding stays under 1.25x on
+this skew (BENCH_LAYOUT=bucket selects the older 8-class bucketed engine).
 
 One iteration = one full Levenberg-Marquardt iteration entirely on device
 in fp32: batched relinearization (autodiff through SE(3) retraction +
@@ -25,7 +27,8 @@ at this scale (BASELINE.md; the reference itself publishes no numbers).
 baseline_iters_per_sec = 1.0.
 
 Env knobs: BENCH_UNIFORM=1 reruns the round-1 uniform-ring problem for
-continuity; BENCH_ITERS overrides the timed iteration count.
+continuity; BENCH_ITERS overrides the timed iteration count; BENCH_LAYOUT
+selects pack|bucket; BENCH_CG the CG budget per iteration.
 """
 
 import json
@@ -39,7 +42,7 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from gtsam_personal_tpu.sfm import ba, ba_bucket, synthetic
+    from gtsam_personal_tpu.sfm import ba, ba_bucket, ba_pack, synthetic
 
     uniform = os.environ.get("BENCH_UNIFORM") == "1"
     if uniform:
@@ -53,20 +56,36 @@ def main():
     state = ba.BAState(*[x.astype(jnp.float32) for x in state])
     obs = ba.BAObservations(obs.cam, obs.point, obs.uv.astype(jnp.float32))
 
-    bl = ba_bucket.make_bucket_layout(
-        obs, state.cam_poses.shape[0], state.points.shape[0],
-        max_cam_buckets=int(os.environ.get("BENCH_CAMB", "8")),
-        max_pt_buckets=int(os.environ.get("BENCH_PTB", "6")))
-    cam_w, pt_w = bl.padding_waste()
-    print(f"# obs={bl.M} cam_buckets={bl.cam_shapes} pt_buckets={bl.pt_shapes}"
-          f" cam_waste={cam_w:.2f}x pt_waste={pt_w:.2f}x", file=sys.stderr)
+    # default engine: packed-tile layout (sfm/ba_pack.py) — measured 18.4
+    # vs 13.0 it/s for the 8-class bucketed layout (BENCH_LAYOUT=bucket)
+    engine = os.environ.get("BENCH_LAYOUT", "pack")
+    if engine == "pack":
+        bl = ba_pack.make_pack_layout(
+            obs, state.cam_poses.shape[0], state.points.shape[0])
+        cam_w, pt_w = bl.padding_waste()
+        print(f"# obs={bl.M} pack rowsC={bl.rowsC} PTC={bl.PTC} "
+              f"cam_classes={len(bl.cam_classes)} "
+              f"pt_classes={len(bl.pt_classes)} "
+              f"cam_waste={cam_w:.2f}x pt_waste={pt_w:.2f}x", file=sys.stderr)
+        error_fn, lm_run_fn = ba_pack.ba_error_pk, ba_pack.ba_lm_run_pk
+    else:
+        bl = ba_bucket.make_bucket_layout(
+            obs, state.cam_poses.shape[0], state.points.shape[0],
+            max_cam_buckets=int(os.environ.get("BENCH_CAMB", "8")),
+            max_pt_buckets=int(os.environ.get("BENCH_PTB", "6")))
+        cam_w, pt_w = bl.padding_waste()
+        print(f"# obs={bl.M} cam_buckets={bl.cam_shapes} "
+              f"pt_buckets={bl.pt_shapes}"
+              f" cam_waste={cam_w:.2f}x pt_waste={pt_w:.2f}x",
+              file=sys.stderr)
+        error_fn, lm_run_fn = ba_bucket.ba_error_bl, ba_bucket.ba_lm_run_bl
 
     # Each timed iteration is one FULL on-device LM iteration: damped solve
     # + retract trial + error + accept/reject + lambda update (reference
     # tryLambda semantics). A fixed-lambda try-step sequence diverges on
     # this problem (round-2's silent failure mode, caught by the round-3
     # quality gate below); the LM carry cannot.
-    err_init = float(ba_bucket.ba_error_bl(state, obs, bl))
+    err_init = float(error_fn(state, obs, bl))
     cg = int(os.environ.get("BENCH_CG", "3"))
     lam = jnp.float32(1e-3)
     err0 = jnp.float32(err_init)
@@ -77,13 +96,13 @@ def main():
     # of ms and NOT chip work, so a per-iteration dispatch loop times the
     # tunnel, not the TPU. compile + warmup first (block_until_ready is
     # unreliable on axon: sync via a host transfer).
-    _, _, errw = ba_bucket.ba_lm_run_bl(state, obs, bl, lam, err0,
-                                        n_iters=iters, cg_maxiter=cg)
+    _, _, errw = lm_run_fn(state, obs, bl, lam, err0,
+                           n_iters=iters, cg_maxiter=cg)
     float(errw)
 
     t0 = time.perf_counter()
-    st2, lamc, errc = ba_bucket.ba_lm_run_bl(state, obs, bl, lam, err0,
-                                             n_iters=iters, cg_maxiter=cg)
+    st2, lamc, errc = lm_run_fn(state, obs, bl, lam, err0,
+                                n_iters=iters, cg_maxiter=cg)
     err_final = float(errc)
     dt = time.perf_counter() - t0
 

@@ -224,3 +224,84 @@ def test_superchain_preconditioner_multigroup_chain():
     # posterior deviation is dominated by the 0.3-sigma position noise;
     # the load-bearing assertion is the cg_iterations bound above
     assert np.max(np.abs(est - gt_p)) < 1.0
+
+
+def test_visual_slam_tracks_batch_optimum():
+    """VisualISAM2Example capability (reference examples/VisualISAM2Example
+    .cpp): stream poses + projection factors into ISAM2; the incremental
+    energy must track the batch LM optimum on the same graph."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gtsam_personal_tpu.geometry import cameras as cam_geo, se3
+    from gtsam_personal_tpu.nonlinear.isam2 import ISAM2, ISAM2Params
+    from gtsam_personal_tpu.nonlinear import optimizers
+    from gtsam_personal_tpu.slam.factors import (projection_residual,
+                                                 make_prior_residual)
+    from gtsam_personal_tpu.linear import noise as nm
+    from gtsam_personal_tpu.core.graph import GraphBuilder
+    from gtsam_personal_tpu.core.values import Values
+
+    rng = np.random.default_rng(0)
+    d = 10.0
+    points = np.array([[d, d, d], [-d, d, d], [-d, -d, d], [d, -d, d],
+                       [d, d, -d], [-d, d, -d], [-d, -d, -d], [d, -d, -d]])
+    n_poses = 5
+    poses = []
+    for i in range(n_poses):
+        th = 2 * np.pi * i / 8
+        eye = np.array([30 * np.cos(th), 30 * np.sin(th), 0.0])
+        zc = -eye / np.linalg.norm(eye)
+        xc = np.cross(zc, [0.0, 0.0, 1.0]); xc /= np.linalg.norm(xc)
+        R = np.stack([xc, np.cross(zc, xc), zc], axis=1)
+        poses.append(np.concatenate([R, eye[:, None]], axis=1))
+    poses = np.asarray(poses)
+    cal = np.array([50.0, 50.0, 0.0, 50.0, 50.0])
+    meas = {(i, j): np.asarray(cam_geo.project_point(
+                jnp.asarray(poses[i]), jnp.asarray(points[j]),
+                jnp.asarray(cal))) + rng.normal(scale=0.5, size=2)
+            for i in range(n_poses) for j in range(8)}
+
+    dp = np.array([-0.05, 0.1, 0.12, 0.05, -0.1, 0.2])
+    dpt = np.array([-0.25, 0.2, 0.15])
+    px = nm.isotropic(2, 0.5, dtype=jnp.float64)
+    pose_pr = nm.sigmas(np.r_[np.full(3, 0.1), np.full(3, 0.3)])
+    pt_pr = nm.isotropic(3, 0.1, dtype=jnp.float64)
+
+    isam = ISAM2(ISAM2Params())
+    for i in range(n_poses):
+        noisy = np.asarray(se3.retract(jnp.asarray(poses[i]), jnp.asarray(dp)))
+        pi = isam.add_variable("se3", noisy)
+        if i == 0:
+            isam.add_factor("prior_se3", make_prior_residual("se3"), ("se3",),
+                            6, [pi], {"prior": poses[0]}, pose_pr)
+            for j in range(8):
+                isam.add_variable("point3", points[j] + dpt)
+            isam.add_factor("prior_point3", make_prior_residual("point3"),
+                            ("point3",), 3, [0], {"prior": points[0]}, pt_pr)
+        for j in range(8):
+            isam.add_factor("proj", projection_residual, ("se3", "point3"),
+                            2, [pi, j], {"measured": meas[(i, j)],
+                                         "cal": cal}, px)
+        if i > 0:
+            for _ in range(3):
+                isam.update()
+
+    b = GraphBuilder()
+    b.add("prior_se3", make_prior_residual("se3"), ("se3",), 6, [0],
+          {"prior": poses[0]},
+          {"kind": "diag", "data": 1.0 / np.r_[np.full(3, 0.1),
+                                               np.full(3, 0.3)]})
+    b.add("prior_point3", make_prior_residual("point3"), ("point3",), 3, [0],
+          {"prior": points[0]}, {"kind": "diag", "data": np.full(3, 10.0)})
+    for (i, j), uv in sorted(meas.items()):
+        b.add("proj", projection_residual, ("se3", "point3"), 2, [i, j],
+              {"measured": uv, "cal": cal},
+              {"kind": "diag", "data": np.full(2, 2.0)})
+    graph = b.build(dtype=np.float64)
+    init = Values({"se3": jnp.asarray([np.asarray(
+                       se3.retract(jnp.asarray(p), jnp.asarray(dp)))
+                       for p in poses]),
+                   "point3": jnp.asarray(points + dpt)})
+    res = optimizers.optimize_lm(graph, init,
+                                 optimizers.Params(max_iterations=30))
+    assert isam.error() < res.error * 1.05 + 1e-6
