@@ -12,12 +12,12 @@ tile column or wrap across columns — physical padding stays under 1.25x on
 this skew (BENCH_LAYOUT=bucket selects the older 8-class bucketed engine).
 
 One iteration = one full Levenberg-Marquardt iteration entirely on device
-in fp32: batched relinearization (autodiff through SE(3) retraction +
-Cal3Bundler projection for every observation) + implicit-Schur PCG camera
-solve (3 CG iterations — the measured inexact-Newton sweet spot: the LM
-accept/reject makes aggressive CG budgets safe, rejected overshoots cost one
-iteration instead of divergence; cg sweep in PERFORMANCE.md) + landmark
-back-substitution +
+in fp32: batched relinearization (analytic Jacobians == the autodiff-
+through-SE(3)-retraction oracle, for every observation) + implicit-Schur
+PCG camera solve (2 CG iterations — the measured inexact-Newton sweet spot
+for the packed engine: the LM accept/reject makes aggressive CG budgets
+safe, cg=1 stalls at 4.1px, cg=2 reaches the noise floor; sweep in
+PERFORMANCE.md) + landmark back-substitution +
 retract + error + accept/reject with lambda adaptation (the reference's
 tryLambda; rejected tries count as iterations there too). The carry stays
 on device — no host sync inside the timed loop.
@@ -86,7 +86,7 @@ def main():
     # this problem (round-2's silent failure mode, caught by the round-3
     # quality gate below); the LM carry cannot.
     err_init = float(error_fn(state, obs, bl))
-    cg = int(os.environ.get("BENCH_CG", "3"))
+    cg = int(os.environ.get("BENCH_CG", "2" if engine == "pack" else "3"))
     lam = jnp.float32(1e-3)
     err0 = jnp.float32(err_init)
     iters = int(os.environ.get("BENCH_ITERS", "10"))

@@ -59,3 +59,23 @@ def test_sharded_ba_matches_single(mesh8):
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_bootstrap_noop_and_validation():
+    """Multi-host bootstrap: flag off -> no-op; enabled without a
+    coordinator -> explicit error; process_info valid single-process."""
+    import os
+    import pytest
+    from gtsam_personal_tpu.parallel import bootstrap
+    assert bootstrap.maybe_init_distributed() is False
+    old = os.environ.pop("GTSAM_TPU_COORD", None)
+    os.environ["GTSAM_TPU_DIST"] = "1"
+    try:
+        with pytest.raises(ValueError):
+            bootstrap.maybe_init_distributed()
+    finally:
+        del os.environ["GTSAM_TPU_DIST"]
+        if old is not None:
+            os.environ["GTSAM_TPU_COORD"] = old
+    pi, pc, ld, gd = bootstrap.process_info()
+    assert pi == 0 and pc == 1 and ld == gd == 8  # conftest virtual mesh
