@@ -204,3 +204,21 @@ def cpt(frontal: int, parents: Sequence[int], rows: Sequence[Sequence[float]],
     else:
         table = rows.reshape(card_f)
     return DiscreteConditional(frontal, parents, table)
+
+
+def parse_signature(spec: str, frontal: int, parents: Sequence[int],
+                    cards: Optional[Sequence[int]] = None):
+    """Reference Signature-string CPT syntax (discrete/SignatureParser.cpp):
+    rows separated by whitespace, each row's outcome weights separated by
+    '/' — e.g. P(D|B,E) as "9/1 2/8 3/7 1/9" (row-major over parents) or a
+    prior as "4/6". Returns a DiscreteConditional via cpt()."""
+    rows = [[float(v) for v in tok.split("/")] for tok in spec.split()]
+    if len(rows) == 1 and not parents:
+        return cpt(frontal, (), rows)
+    assert cards is not None, "parent cardinalities required"
+    import numpy as _np
+    expect = int(_np.prod(list(cards)))
+    if len(rows) != expect:
+        raise ValueError(
+            f"signature '{spec}' has {len(rows)} rows, parents need {expect}")
+    return cpt(frontal, parents, rows, cards)

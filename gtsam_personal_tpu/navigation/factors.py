@@ -171,3 +171,32 @@ def add_ahrs_factor(builder, i, j, bias_key, apim: "pre.AhrsPIM",
             "bias_hat": np.asarray(apim.bias_hat)}
     builder.add("ahrs", pre.ahrs_residual, (rot_group, rot_group, bias_group),
                 3, [i, j, bias_key], meas, full_info_noise(info))
+
+
+def biased_gps_residual(xs, meas):
+    """BiasedGPSFactor: GPS measurement with a slowly-varying additive bias
+    estimated as its own variable (reference:
+    gtsam_unstable/slam/BiasedGPSFactor.h:78 — error = translation(pose) +
+    bias - measured, bias in the world frame)."""
+    from gtsam_personal_tpu.geometry import se3
+    pose, bias = xs
+    return se3.translation(pose) + bias - meas["measured"]
+
+
+def gauss_markov_residual(xs, meas):
+    """GaussMarkov1stOrderFactor: first-order Gauss-Markov process prior
+    v2 = exp(-dt/tau) * v1 + w_d, elementwise over the state (reference:
+    gtsam_unstable/slam/GaussMarkov1stOrderFactor.h:31). meas: dt [1] or
+    scalar, tau [d]."""
+    import jax.numpy as jnp
+    v1, v2 = xs
+    alpha = jnp.exp(-meas["dt"] / meas["tau"])
+    return v2 - alpha * v1
+
+
+def gauss_markov_discrete_sigmas(sigmas_ct, dt):
+    """Continuous-time process sigmas -> discrete-time factor sigmas,
+    Q_d ~= Q * dt (reference: GaussMarkov1stOrderFactor.h:127
+    calcDiscreteNoiseModel)."""
+    import numpy as np
+    return np.asarray(sigmas_ct) * np.sqrt(dt)

@@ -316,3 +316,107 @@ def essential_transfer_residual(xs, meas):
     Fcb = jnp.where(meas["transpose2"], F2.T, F2)
     pred = fm.epipolar_transfer(Fca, meas["pa"], Fcb, meas["pb"])
     return pred - meas["pc"]
+
+
+# -- round-4 long-tail parity sweep ------------------------------------------
+
+def make_partial_prior_residual(group: str, indices):
+    """PartialPriorFactor<VALUE>: soft prior on a SUBSET of the variable's
+    Logmap components (reference: gtsam_unstable/slam/PartialPriorFactor.h —
+    full_tangent = Logmap(x), residual = full_tangent[indices] - prior).
+    `meas["prior"]` holds the compressed prior (len(indices) values)."""
+    import numpy as np
+    from gtsam_personal_tpu.core import manifolds
+    from gtsam_personal_tpu.geometry import se2, se3, so2, so3
+    logmaps = {"se2": se2.logmap, "se3": se3.logmap,
+               "so2": so2.logmap, "so3": so3.logmap}
+    logmap = logmaps.get(group)
+    idx = np.asarray(indices, dtype=np.int64)
+
+    def residual(xs, meas):
+        (x,) = xs
+        full = (logmap(x) if logmap is not None
+                else jnp.ravel(x))          # vector groups: Logmap = identity
+        return full[idx] - meas["prior"]
+
+    residual.__name__ = f"partial_prior_{group}"
+    return residual
+
+
+def relative_elevation_residual(xs, meas):
+    """RelativeElevationFactor: h(pose, pt) = pose.z() - pt.z() (reference:
+    gtsam_unstable/slam/RelativeElevationFactor.cpp:22). meas: measured [1]."""
+    pose, point = xs
+    from gtsam_personal_tpu.geometry import se3
+    return (se3.translation(pose)[2] - point[2])[None] - meas["measured"]
+
+
+def essential_matrix_constraint_residual(xs, meas):
+    """EssentialMatrixConstraint: 5-dim local-coordinate error between a
+    measured essential matrix and the one induced by the relative pose
+    p1.between(p2) (reference: slam/EssentialMatrixConstraint.cpp:45-76).
+    meas: measured_R [3,3] + measured_t [3] (the measured E's rotation and
+    unit direction)."""
+    from gtsam_personal_tpu.geometry import extra, se3
+    p1, p2 = xs
+    rel = se3.between(p1, p2)
+    t = se3.translation(rel)
+    tn = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+    hx = extra.essential_make(se3.rotation(rel), tn)
+    measured = extra.essential_make(meas["measured_R"], meas["measured_t"])
+    return extra.essential_local(measured, hx)
+
+
+def projection_ppp_residual(xs, meas):
+    """ProjectionFactorPPP<Pose3, Point3, Cal3_S2>: projection through a
+    world pose COMPOSED with an unknown body->camera transform (reference:
+    gtsam_unstable/slam/ProjectionFactorPPP.h). xs = (wTb, bTc, point);
+    meas: measured [2], cal [5]."""
+    from gtsam_personal_tpu.geometry import cameras as cam_geo, se3
+    wTb, bTc, point = xs
+    pred = cam_geo.project_point(se3.compose(wTb, bTc), point, meas["cal"],
+                                 "cal3_s2")
+    return pred - meas["measured"]
+
+
+def make_between_sensor_residual(group: str = "se3"):
+    """PoseBetweenFactor with an optional fixed body->sensor transform
+    (reference: gtsam_unstable/slam/PoseBetweenFactor.h): the measurement
+    relates the SENSOR poses wTb1*bTs and wTb2*bTs."""
+    from gtsam_personal_tpu.geometry import se2, se3
+    m = se3 if group == "se3" else se2
+
+    def residual(xs, meas):
+        a, b = xs
+        sa = m.compose(a, meas["body_P_sensor"])
+        sb = m.compose(b, meas["body_P_sensor"])
+        return m.local(m.compose(sa, meas["measured"]), sb)
+
+    residual.__name__ = f"between_sensor_{group}"
+    return residual
+
+
+def make_prior_sensor_residual(group: str = "se3"):
+    """PosePriorFactor with an optional fixed body->sensor transform
+    (reference: gtsam_unstable/slam/PosePriorFactor.h)."""
+    from gtsam_personal_tpu.geometry import se2, se3
+    m = se3 if group == "se3" else se2
+
+    def residual(xs, meas):
+        (a,) = xs
+        return m.local(meas["prior"], m.compose(a, meas["body_P_sensor"]))
+
+    residual.__name__ = f"prior_sensor_{group}"
+    return residual
+
+
+def local_oriented_plane3_residual(xs, meas):
+    """LocalOrientedPlane3Factor: the plane variable lives in a local ANCHOR
+    frame; the measurement observes it from a second pose (reference:
+    gtsam_unstable/slam/LocalOrientedPlane3Factor.h — predicted =
+    plane.transform(anchor.inverse() * pose)). xs = (pose, anchor, plane)."""
+    from gtsam_personal_tpu.geometry import extra, se3
+    pose, anchor, plane = xs
+    rel = se3.compose(se3.inverse(anchor), pose)
+    pred = extra.plane_transform(plane, rel)
+    return extra.plane_local(meas["measured"], pred)
