@@ -429,9 +429,15 @@ def _pt_table(state: BAState, pl: PackLayout, dtype):
                            axis=1)
 
 
-def linearize_ba_pk(state: BAState, obs: BAObservations, pl: PackLayout):
+def linearize_ba_pk(state: BAState, obs: BAObservations, pl: PackLayout,
+                    robust: str = "none", robust_k=1.0):
     """Analytic cam-major linearization over the single packed rect.
-    Returns r [2, S], Jc [2, 9, S], Jp [2, 3, S] (masked)."""
+    Returns r [2, S], Jc [2, 9, S], Jp [2, 3, S] (masked).
+
+    robust != 'none' applies the IRLS sqrt-weight of the named m-estimator
+    to each observation's residual/Jacobian rows (the reference's
+    Robust::WhitenSystem semantics, linear/LossFunctions.h — same
+    fixed-weight approximation, no Triggs correction)."""
     dtype = state.points.dtype
     poses_s, cals_s = _cam_tables(state, pl, dtype)
     posesT = _cam_broadcast(pl, poses_s.transpose(1, 2, 0))   # [3, 4, S]
@@ -440,10 +446,16 @@ def linearize_ba_pk(state: BAState, obs: BAObservations, pl: PackLayout):
     uv_cm = pl.uv_cm.astype(dtype)
     r, Jc, Jp, depth = _analytic_rJ(posesT, calsT, pts_cm, uv_cm, dtype)
     w = (depth > 1e-6).astype(dtype) * pl.cam_mask.astype(dtype)
+    if robust != "none":
+        from gtsam_personal_tpu.linear.noise import robust_weight
+        e = jnp.sqrt(r[0] * r[0] + r[1] * r[1] + 1e-30)
+        w = w * jnp.sqrt(robust_weight(robust, e, jnp.asarray(
+            robust_k, dtype=dtype)))
     return r * w, Jc * w, Jp * w
 
 
-def ba_error_pk(state: BAState, obs: BAObservations, pl: PackLayout):
+def ba_error_pk(state: BAState, obs: BAObservations, pl: PackLayout,
+                robust: str = "none", robust_k=1.0):
     dtype = state.points.dtype
     poses_s, cals_s = _cam_tables(state, pl, dtype)
     posesT = _cam_broadcast(pl, poses_s.transpose(1, 2, 0))
@@ -463,16 +475,22 @@ def ba_error_pk(state: BAState, obs: BAObservations, pl: PackLayout):
         posesT.reshape(3, 4, -1), calsT, pts_cm, uv_cm)
     w = (depth > 1e-6).astype(dtype) * pl.cam_mask.astype(dtype)
     r = r * w
+    if robust != "none":
+        from gtsam_personal_tpu.linear.noise import robust_loss
+        e = jnp.sqrt(r[0] * r[0] + r[1] * r[1] + 1e-30)
+        return jnp.sum(w * robust_loss(robust, e, jnp.asarray(
+            robust_k, dtype=dtype)))
     return 0.5 * jnp.sum(r * r)
 
 
 def solve_ba_step_pk(state: BAState, obs: BAObservations, pl: PackLayout,
-                     lam, cg_maxiter=100, cg_tol=1e-6):
+                     lam, cg_maxiter=100, cg_tol=1e-6,
+                     robust: str = "none", robust_k=1.0):
     """Implicit-Schur PCG step over the packed layout. Returns
     (delta_cam [C, 9], delta_point [P, 3]) in ORIGINAL order."""
     dtype = state.points.dtype
     S = pl.S
-    r, Jc, Jp_cm = linearize_ba_pk(state, obs, pl)
+    r, Jc, Jp_cm = linearize_ba_pk(state, obs, pl, robust, robust_k)
 
     def cam_to_point(x):
         """[k, S] -> [k, 8, PTC] via the fixed flat permutation."""
@@ -562,10 +580,12 @@ def retract_ba(state: BAState, xc, xp) -> BAState:
     return BAState(new_poses, state.cam_cals + xc[:, 6:9], state.points + xp)
 
 
-def _lm_iter_body(state, obs, pl, lam, err, cg_maxiter, lam_lo, lam_hi):
-    xc, xp = solve_ba_step_pk(state, obs, pl, lam, cg_maxiter=cg_maxiter)
+def _lm_iter_body(state, obs, pl, lam, err, cg_maxiter, lam_lo, lam_hi,
+                  robust="none", robust_k=1.0):
+    xc, xp = solve_ba_step_pk(state, obs, pl, lam, cg_maxiter=cg_maxiter,
+                              robust=robust, robust_k=robust_k)
     trial = retract_ba(state, xc, xp)
-    err_t = ba_error_pk(trial, obs, pl)
+    err_t = ba_error_pk(trial, obs, pl, robust, robust_k)
     ok = jnp.isfinite(err_t) & (err_t < err)
     new_state = jax.tree.map(lambda a, b: jnp.where(ok, a, b), trial, state)
     new_err = jnp.where(ok, err_t, err)
@@ -574,24 +594,27 @@ def _lm_iter_body(state, obs, pl, lam, err, cg_maxiter, lam_lo, lam_hi):
     return new_state, new_lam, new_err
 
 
-@partial(jax.jit, static_argnames=("cg_maxiter",))
+@partial(jax.jit, static_argnames=("cg_maxiter", "robust"))
 def ba_lm_iter_pk(state: BAState, obs: BAObservations, pl: PackLayout,
-                  lam, err, cg_maxiter=100, lam_lo=1e-6, lam_hi=1e3):
+                  lam, err, cg_maxiter=100, lam_lo=1e-6, lam_hi=1e3,
+                  robust: str = "none", robust_k=1.0):
     """One full on-device LM iteration (tryLambda semantics — see
-    ba_bucket.ba_lm_iter_bl)."""
-    return _lm_iter_body(state, obs, pl, lam, err, cg_maxiter, lam_lo, lam_hi)
+    ba_bucket.ba_lm_iter_bl). robust: optional m-estimator (IRLS)."""
+    return _lm_iter_body(state, obs, pl, lam, err, cg_maxiter, lam_lo,
+                         lam_hi, robust, robust_k)
 
 
-@partial(jax.jit, static_argnames=("n_iters", "cg_maxiter"))
+@partial(jax.jit, static_argnames=("n_iters", "cg_maxiter", "robust"))
 def ba_lm_run_pk(state: BAState, obs: BAObservations, pl: PackLayout,
                  lam, err, n_iters, cg_maxiter=100,
-                 lam_lo=1e-6, lam_hi=1e3):
+                 lam_lo=1e-6, lam_hi=1e3, robust: str = "none",
+                 robust_k=1.0):
     """`n_iters` LM iterations in ONE dispatch (see ba_bucket.ba_lm_run_bl
     on why bench times this, not a dispatch-per-iteration loop)."""
     def body(carry, _):
         st, lm, er = carry
-        return _lm_iter_body(st, obs, pl, lm, er,
-                             cg_maxiter, lam_lo, lam_hi), None
+        return _lm_iter_body(st, obs, pl, lm, er, cg_maxiter, lam_lo,
+                             lam_hi, robust, robust_k), None
     (st, lm, er), _ = jax.lax.scan(body, (state, lam, err), None,
                                    length=n_iters)
     return st, lm, er

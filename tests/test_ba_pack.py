@@ -120,3 +120,55 @@ def test_uniform_problem():
         state, obs, pl, jnp.asarray(1e-3, state.points.dtype), err0,
         n_iters=4, cg_maxiter=8)
     assert float(err1) < float(err0)
+
+
+def test_robust_huber_downweights_outliers():
+    """Robust (IRLS) BA: 5% gross outlier observations pull the L2 solution
+    off; Huber recovers near the clean optimum (reference: Robust noise on
+    projection factors, linear/LossFunctions.h semantics)."""
+    import jax
+    prob = _small_skewed(seed=7)
+    state, obs = ba.state_from_bal(prob)
+    C, P = state.cam_poses.shape[0], state.points.shape[0]
+    rng = np.random.default_rng(0)
+    uv = np.asarray(obs.uv).copy()
+    n_out = max(4, uv.shape[0] // 20)
+    sel = rng.choice(uv.shape[0], size=n_out, replace=False)
+    uv[sel] += rng.normal(scale=80.0, size=(n_out, 2))   # gross outliers
+    obs_c = ba.BAObservations(obs.cam, obs.point, jnp.asarray(uv))
+    pl = ba_pack.make_pack_layout(obs_c, C, P, dtype=np.float64)
+
+    # robust linearize rows == sqrt(IRLS weight) * plain rows
+    from gtsam_personal_tpu.linear.noise import robust_weight
+    r0, Jc0, Jp0 = ba_pack.linearize_ba_pk(state, obs_c, pl)
+    rh, Jch, Jph = ba_pack.linearize_ba_pk(state, obs_c, pl,
+                                           robust="huber", robust_k=3.0)
+    e = np.sqrt(np.asarray(r0[0])**2 + np.asarray(r0[1])**2)
+    sw = np.sqrt(np.asarray(robust_weight("huber", jnp.asarray(e), 3.0)))
+    np.testing.assert_allclose(np.asarray(rh), np.asarray(r0) * sw,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Jch), np.asarray(Jc0) * sw,
+                               rtol=1e-9, atol=1e-12)
+
+    # judge on observations of UNCONTAMINATED points only: a min-track-2
+    # point with one gross outlier is legitimately under-constrained once
+    # the outlier is downweighted, so its clean residual says nothing about
+    # the solver
+    bad_pts = set(np.asarray(obs.point)[sel].tolist())
+    keep = np.asarray([int(p) not in bad_pts
+                       for p in np.asarray(obs.point)])
+    clean_sub = ba.BAObservations(obs.cam[jnp.asarray(keep)],
+                                  obs.point[jnp.asarray(keep)],
+                                  obs.uv[jnp.asarray(keep)])
+
+    lam0 = jnp.asarray(1e-3, state.points.dtype)
+    def run(robust):
+        e0 = ba_pack.ba_error_pk(state, obs_c, pl, robust, 3.0)
+        st, _, _ = ba_pack.ba_lm_run_pk(state, obs_c, pl, lam0, e0,
+                                        n_iters=15, cg_maxiter=8,
+                                        robust=robust, robust_k=3.0)
+        return float(ba.ba_error(st, clean_sub))
+
+    err_l2 = run("none")
+    err_huber = run("huber")
+    assert err_huber < 0.5 * err_l2, (err_huber, err_l2)
