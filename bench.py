@@ -19,8 +19,10 @@ for the packed engine: the LM accept/reject makes aggressive CG budgets
 safe, cg=1 stalls at 4.1px, cg=2 reaches the noise floor; sweep in
 PERFORMANCE.md) + landmark back-substitution +
 retract + error + accept/reject with lambda adaptation (the reference's
-tryLambda; rejected tries count as iterations there too). The carry stays
-on device — no host sync inside the timed loop.
+tryLambda; rejected tries count as iterations there too — and, exactly
+like the reference, a rejected try REUSES the cached linearization, since
+the state did not move; relinearization happens after every accept). The
+carry stays on device — no host sync inside the timed loop.
 
 vs_baseline: Ceres/GTSAM-class CPU bundle adjusters run ~1 LM iteration/sec
 at this scale (BASELINE.md; the reference itself publishes no numbers).

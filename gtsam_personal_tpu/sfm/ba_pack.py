@@ -483,31 +483,53 @@ def ba_error_pk(state: BAState, obs: BAObservations, pl: PackLayout,
     return 0.5 * jnp.sum(r * r)
 
 
+def _cam_to_point(pl, x):
+    """[k, S] -> [k, 8, PTC] via the fixed flat permutation."""
+    k = x.shape[0]
+    flat = jnp.concatenate([x, jnp.zeros((k, 1), dtype=x.dtype)], axis=1)
+    return flat[:, pl.p2c_tp]
+
+
+def _point_to_cam(pl, x):
+    k = x.shape[0]
+    flat = jnp.concatenate([x.reshape(k, -1),
+                            jnp.zeros((k, 1), dtype=x.dtype)], axis=1)
+    return flat[:, pl.c2p_tp]
+
+
+def _relayout_pm(pl, r, Jp_cm):
+    """Point-major copies (one 8-row permutation: Jp 6 rows + r 2 rows)."""
+    S = pl.S
+    pm = _cam_to_point(pl, jnp.concatenate([Jp_cm.reshape(6, S), r], axis=0))
+    return pm[:6].reshape(2, 3, PT_H, pl.PTC), pm[6:]
+
+
 def solve_ba_step_pk(state: BAState, obs: BAObservations, pl: PackLayout,
                      lam, cg_maxiter=100, cg_tol=1e-6,
                      robust: str = "none", robust_k=1.0):
     """Implicit-Schur PCG step over the packed layout. Returns
     (delta_cam [C, 9], delta_point [P, 3]) in ORIGINAL order."""
-    dtype = state.points.dtype
+    lin = linearize_ba_pk(state, obs, pl, robust, robust_k)
+    pm = _relayout_pm(pl, lin[0], lin[2])
+    return _solve_from_lin(pl, lin, pm, lam, cg_maxiter, cg_tol)
+
+
+def _solve_from_lin(pl: PackLayout, lin, pm, lam, cg_maxiter=100,
+                    cg_tol=1e-6):
+    """The lambda-dependent part of the step: consumes a (possibly cached)
+    linearization — the reference's tryLambda reuses ONE linearization
+    across rejected lambda tries (LevenbergMarquardtOptimizer.cpp:121), and
+    so does ba_lm_run_pk via this split."""
+    r, Jc, Jp_cm = lin
+    Jp4, r_pm = pm
+    dtype = r.dtype
     S = pl.S
-    r, Jc, Jp_cm = linearize_ba_pk(state, obs, pl, robust, robust_k)
 
     def cam_to_point(x):
-        """[k, S] -> [k, 8, PTC] via the fixed flat permutation."""
-        k = x.shape[0]
-        flat = jnp.concatenate([x, jnp.zeros((k, 1), dtype=dtype)], axis=1)
-        return flat[:, pl.p2c_tp]
+        return _cam_to_point(pl, x)
 
     def point_to_cam(x):
-        k = x.shape[0]
-        flat = jnp.concatenate([x.reshape(k, -1),
-                                jnp.zeros((k, 1), dtype=dtype)], axis=1)
-        return flat[:, pl.c2p_tp]
-
-    # point-major copies (one 8-row permutation: Jp 6 rows + r 2 rows)
-    pm = cam_to_point(jnp.concatenate([Jp_cm.reshape(6, S), r], axis=0))
-    Jp4 = pm[:6].reshape(2, 3, PT_H, pl.PTC)
-    r_pm = pm[6:]                                           # [2, 8, PTC]
+        return _point_to_cam(pl, x)
 
     def cam_apply(x):                                       # [9, Cs] -> [2, S]
         xb = _cam_broadcast(pl, x)                          # [9, S]
@@ -594,6 +616,30 @@ def _lm_iter_body(state, obs, pl, lam, err, cg_maxiter, lam_lo, lam_hi,
     return new_state, new_lam, new_err
 
 
+def _lm_iter_cached(state, obs, pl, lam, err, lin, pm, need_relin,
+                    cg_maxiter, lam_lo, lam_hi, robust, robust_k):
+    """LM iteration that RELINEARIZES ONLY AFTER AN ACCEPT: on a rejected
+    try the state is unchanged, so the cached linearization is bitwise
+    identical to recomputing it — the reference's tryLambda semantics
+    (one linearize per outer iteration). lax.cond executes only the taken
+    branch on TPU, so rejected iterations skip the whole linearize+relayout
+    cost."""
+    def fresh(_):
+        l = linearize_ba_pk(state, obs, pl, robust, robust_k)
+        return l, _relayout_pm(pl, l[0], l[2])
+
+    lin, pm = jax.lax.cond(need_relin, fresh, lambda _: (lin, pm), None)
+    xc, xp = _solve_from_lin(pl, lin, pm, lam, cg_maxiter)
+    trial = retract_ba(state, xc, xp)
+    err_t = ba_error_pk(trial, obs, pl, robust, robust_k)
+    ok = jnp.isfinite(err_t) & (err_t < err)
+    new_state = jax.tree.map(lambda a, b: jnp.where(ok, a, b), trial, state)
+    new_err = jnp.where(ok, err_t, err)
+    new_lam = jnp.where(ok, jnp.maximum(lam * 0.5, lam_lo),
+                        jnp.minimum(lam * 4.0, lam_hi))
+    return new_state, new_lam, new_err, lin, pm, ok
+
+
 @partial(jax.jit, static_argnames=("cg_maxiter", "robust"))
 def ba_lm_iter_pk(state: BAState, obs: BAObservations, pl: PackLayout,
                   lam, err, cg_maxiter=100, lam_lo=1e-6, lam_hi=1e3,
@@ -611,10 +657,60 @@ def ba_lm_run_pk(state: BAState, obs: BAObservations, pl: PackLayout,
                  robust_k=1.0):
     """`n_iters` LM iterations in ONE dispatch (see ba_bucket.ba_lm_run_bl
     on why bench times this, not a dispatch-per-iteration loop)."""
+    # seed the linearization cache with zeros and need_relin=True: the
+    # first iteration always relinearizes
+    S = pl.S
+    dtype = state.points.dtype
+    lin0 = (jnp.zeros((2, S), dtype), jnp.zeros((2, 9, S), dtype),
+            jnp.zeros((2, 3, S), dtype))
+    pm0 = (jnp.zeros((2, 3, PT_H, pl.PTC), dtype),
+           jnp.zeros((2, PT_H, pl.PTC), dtype))
+
     def body(carry, _):
-        st, lm, er = carry
-        return _lm_iter_body(st, obs, pl, lm, er, cg_maxiter, lam_lo,
-                             lam_hi, robust, robust_k), None
-    (st, lm, er), _ = jax.lax.scan(body, (state, lam, err), None,
-                                   length=n_iters)
+        st, lm, er, lin, pm, need = carry
+        st, lm, er, lin, pm, ok = _lm_iter_cached(
+            st, obs, pl, lm, er, lin, pm, need, cg_maxiter, lam_lo, lam_hi,
+            robust, robust_k)
+        return (st, lm, er, lin, pm, ok), None
+
+    (st, lm, er, _, _, _), _ = jax.lax.scan(
+        body, (state, lam, err, lin0, pm0, jnp.asarray(True)), None,
+        length=n_iters)
     return st, lm, er
+
+
+def optimize_ba_pk(state: BAState, obs: BAObservations, pl=None,
+                   max_iterations=50, chunk=5, cg_maxiter=10,
+                   lambda_initial=1e-3, rel_tol=1e-6,
+                   robust: str = "none", robust_k=1.0, verbose=False):
+    """LM outer driver on the packed engine: runs `chunk` full on-device LM
+    iterations per dispatch (ba_lm_run_pk) and checks convergence on host
+    between chunks — the dispatch count is max_iterations/chunk, not
+    max_iterations (the axon tunnel charges tens of ms per dispatch).
+
+    Returns (state, error, iterations_run). Reference schedule semantics:
+    every inner iteration is an accept/reject tryLambda step, so rejected
+    tries count as iterations, like LevenbergMarquardtOptimizer."""
+    if pl is None:
+        pl = make_pack_layout(obs, state.cam_poses.shape[0],
+                              state.points.shape[0])
+    dtype = state.points.dtype
+    err = ba_error_pk(state, obs, pl, robust, robust_k)
+    lam = jnp.asarray(lambda_initial, dtype=dtype)
+    err_h = float(err)
+    it = 0
+    while it < max_iterations:
+        n = min(chunk, max_iterations - it)
+        state, lam, err = ba_lm_run_pk(state, obs, pl, lam, err, n_iters=n,
+                                       cg_maxiter=cg_maxiter, robust=robust,
+                                       robust_k=robust_k)
+        it += n
+        new_err = float(err)
+        if verbose:
+            print(f"BA iters {it}: error {new_err:.6g} (lambda "
+                  f"{float(lam):.2g})")
+        if err_h - new_err < rel_tol * max(err_h, 1e-30):
+            err_h = new_err
+            break
+        err_h = new_err
+    return state, err_h, it
