@@ -30,7 +30,15 @@ Reference analogue: the same Schur algebra as RegularImplicitSchurFactor
 (slam/RegularImplicitSchurFactor.h) — there single-address-space, here
 explicitly distributed. `parallel/ba_sharded.py` keeps the GSPMD
 auto-propagated variant; this module is the explicit-schedule one whose
-compute/collective split is measurable (collective_overhead)."""
+compute/collective split is measurable (collective_overhead).
+Note on layouts: each device's shard keeps the UNIFORM dual cam/point
+rectangles (common Q, T across devices) rather than the packed-tile layout
+of sfm/ba_pack.py — shard_map requires ONE program across all devices, and
+the packed layout's class structure is problem-shard-specific (different
+rowsC/PTC/classes per shard would be different programs). The padding cost
+is bounded by per-shard skew; the single-chip flagship path uses the packed
+engine.
+"""
 
 from functools import partial
 from typing import NamedTuple

@@ -26,8 +26,9 @@ The big per-slot kernels (analytic linearize, elementwise J-products,
 permutation gathers) all run over the SINGLE flat slot spaces — fewer, larger
 kernels than the 8+6 bucket rectangles — and the per-class reduction tails
 operate on tiny [k, rows]/[k, cols] arrays where even 30 classes cost
-nothing. Measured waste on Ladybug-1723 skew: cam 1.16x / point 1.31x
-physical (vs 1.68x / 2.60x bucketed).
+nothing. Measured waste on Ladybug-1723 skew: cam 1.21x / point 1.16x
+physical (vs 1.68x / 2.60x bucketed); bench 13.0 -> 23.4 LM it/s together
+with the cg=2 budget and reject-try linearization caching.
 
 Entity order inside the solver is class-major ("slot" order) with a few dead
 slots (stacking pads to multiples of s); the global vectors are [9, C_slots]
