@@ -1,0 +1,28 @@
+"""Range-only SLAM on the recorded Plaza2 dataset (truncated stream) —
+drives examples/range_isam_plaza2.py end-to-end in a subprocess
+(reference: examples/RangeISAMExample_plaza2.cpp)."""
+
+import subprocess
+import sys
+
+
+def test_plaza2_truncated():
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "import sys; sys.argv=['prog','--steps','500']; "
+        "exec(open('examples/range_isam_plaza2.py').read())")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=900)
+    assert "PLAZA2 OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_stereo_vo_large():
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "import sys; sys.argv=['prog']; "
+        "exec(open('examples/stereo_vo_large.py').read())")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=900)
+    assert "STEREO-VO OK" in out.stdout, out.stdout + out.stderr
