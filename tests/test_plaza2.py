@@ -26,3 +26,24 @@ def test_stereo_vo_large():
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=900)
     assert "STEREO-VO OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_tutorials():
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "import sys; sys.argv=['prog']; "
+        "exec(open('examples/tutorials.py').read())")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=900)
+    assert "TUTORIALS OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_discrete_examples():
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import sys; sys.argv=['prog']; "
+        "exec(open('examples/discrete_examples.py').read())")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=900)
+    assert "DISCRETE-EXAMPLES OK" in out.stdout, out.stdout + out.stderr
