@@ -47,3 +47,14 @@ def test_discrete_examples():
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=900)
     assert "DISCRETE-EXAMPLES OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_view_graph():
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "import sys; sys.argv=['prog']; "
+        "exec(open('examples/view_graph.py').read())")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=900)
+    assert "VIEW-GRAPH OK" in out.stdout, out.stdout + out.stderr
