@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--points", type=int, default=8)
     ap.add_argument("--pixel-sigma", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--prealloc", type=int, default=0,
+                    help="pre-size engine capacities (avoids capacity-"
+                         "doubling recompiles; use on TPU)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -72,7 +75,10 @@ def main():
             uv = project(poses[i], points[j])
             meas[(i, j)] = uv + rng.normal(scale=args.pixel_sigma, size=2)
 
-    isam = ISAM2(ISAM2Params())
+    params = (ISAM2Params(min_var_cap=args.prealloc,
+                          min_fac_cap=4 * args.prealloc)
+              if args.prealloc else ISAM2Params())
+    isam = ISAM2(params)
     px_noise = nm.isotropic(2, args.pixel_sigma, dtype=jnp.float64)
     pose_prior = nm.sigmas(np.r_[np.full(3, 0.1), np.full(3, 0.3)])
     point_prior = nm.isotropic(3, 0.1, dtype=jnp.float64)

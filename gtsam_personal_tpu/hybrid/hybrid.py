@@ -71,6 +71,10 @@ class HybridFactor:
         meas = jax.tree.map(lambda x: x[m], self.batch.meas)
         noise = self.batch.noise
         data = noise.data
+        # per-mode noise is detected by a leading modes axis on the data;
+        # ambiguous when K or rdim coincidentally equals num_modes — give
+        # per-mode data an explicit [modes, ...] leading axis to be safe
+        # (log_normalizer uses the identical test)
         if data is not None and data.ndim >= 1 and data.shape[0] == self.num_modes:
             from gtsam_personal_tpu.linear.noise import NoiseModel
             noise = NoiseModel(noise.kind, data[m], noise.robust, noise.k)

@@ -1,6 +1,7 @@
-"""Range-only SLAM on the recorded Plaza2 dataset (truncated stream) —
-drives examples/range_isam_plaza2.py end-to-end in a subprocess
-(reference: examples/RangeISAMExample_plaza2.cpp)."""
+"""End-to-end example drivers (each runs the example CLI in a subprocess
+and asserts its OK line): Plaza2 range-only ISAM2, large stereo VO, the
+six small tutorials, the discrete Asia/HMM/UGM examples, and the
+view-graph transfer-factor example."""
 
 import subprocess
 import sys
