@@ -1,7 +1,8 @@
 """Bundle adjustment on a BAL file.
 
-Mirrors the reference's examples/SFMExample_bal.cpp: load the BAL problem,
-run LM with the implicit-Schur PCG engine, report reprojection statistics.
+Mirrors the reference's examples/SFMExample_bal.cpp: load the BAL problem
+(or a Bundler .out file such as the shipped Balbianello.out), run LM with
+the implicit-Schur PCG engine, report reprojection statistics.
 
   python examples/sfm_example_bal.py [path-to-bal.txt]
 """
@@ -29,7 +30,8 @@ def main():
     if args.path is None:
         args.path = find_example_data("dubrovnik-3-7-pre.txt")
 
-    prob = bal.load_bal(args.path)
+    prob = (bal.load_bundler(args.path) if args.path.endswith(".out")
+            else bal.load_bal(args.path))
     print(f"cameras={prob.num_cameras} points={prob.num_points} "
           f"observations={prob.num_observations}")
     state, obs = ba.state_from_bal(prob)

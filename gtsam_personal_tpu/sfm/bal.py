@@ -107,3 +107,57 @@ def write_bal(path, prob: BalProblem):
         for p in range(P):
             for v in prob.points[p]:
                 f.write(f"{v}\n")
+
+
+def load_bundler(path, dtype=np.float64) -> BalProblem:
+    """Bundler .out reader (reference: SfmData::FromBundlerFile,
+    gtsam/sfm/SfmData.cpp:120-188): header line, (nrPoses, nrPoints), per
+    camera (f k1 k2; R rows; t) in the Bundler/OpenGL convention (converted
+    by openGL2gtsam like BAL), per point (xyz; rgb; view list of
+    (cam_idx, sift_idx, u, v) with the v-axis flip)."""
+    with open(path) as f:
+        first = f.readline()
+        if not first.startswith("#"):
+            raise ValueError("not a Bundler .out file (missing header)")
+        tokens = f.read().split()
+    it = 0
+
+    def take(n):
+        nonlocal it
+        out = tokens[it:it + n]
+        it += n
+        return out
+
+    C, P = int(take(1)[0]), int(take(1)[0])
+    cam_poses = np.zeros((C, 3, 4))
+    cam_cals = np.zeros((C, 3))
+    R90 = np.diag([1.0, -1.0, -1.0])
+    for c in range(C):
+        f_, k1, k2 = (float(v) for v in take(3))
+        R = np.array([float(v) for v in take(9)]).reshape(3, 3)
+        t = np.array([float(v) for v in take(3)])
+        if not R.any():
+            raise ValueError(f"zero rotation matrix for camera {c}")
+        wRc = R.T @ R90
+        wtc = R.T @ (-t)
+        cam_poses[c] = np.concatenate([wRc, wtc[:, None]], axis=1)
+        cam_cals[c] = (f_, k1, k2)
+
+    points = np.zeros((P, 3))
+    obs_cam, obs_point, obs_uv = [], [], []
+    for p in range(P):
+        points[p] = [float(v) for v in take(3)]
+        take(3)                                  # rgb
+        nvis = int(take(1)[0])
+        for _ in range(nvis):
+            ci, _sift, u, v = take(4)
+            obs_cam.append(int(ci))
+            obs_point.append(p)
+            obs_uv.append((float(u), -float(v)))  # Bundler v-flip
+
+    return BalProblem(
+        cam_poses=cam_poses.astype(dtype), cam_cals=cam_cals.astype(dtype),
+        points=points.astype(dtype),
+        obs_cam=np.asarray(obs_cam, dtype=np.int32),
+        obs_point=np.asarray(obs_point, dtype=np.int32),
+        obs_uv=np.asarray(obs_uv, dtype=dtype))

@@ -59,3 +59,31 @@ def test_view_graph():
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=900)
     assert "VIEW-GRAPH OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_victoria_park_truncated():
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "import sys; sys.argv=['prog','--n','800']; "
+        "exec(open('examples/victoria_park.py').read())")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=900)
+    assert "VICTORIA-PARK OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_balbianello_bundler():
+    """Real Bundler data (Balbianello.out, 5 cams / 544 pts) through the
+    packed BA engine via the BAL example CLI."""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "import sys; sys.argv=['prog',"
+        "'/root/reference/examples/Data/Balbianello.out','--iters','20']; "
+        "exec(open('examples/sfm_example_bal.py').read())")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=900)
+    assert "final:" in out.stdout, out.stdout + out.stderr
+    import re
+    m = re.search(r"rms ([0-9.]+) px", out.stdout)
+    assert m and float(m.group(1)) < 0.6, out.stdout
