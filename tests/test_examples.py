@@ -87,3 +87,14 @@ def test_balbianello_bundler():
     import re
     m = re.search(r"rms ([0-9.]+) px", out.stdout)
     assert m and float(m.group(1)) < 0.6, out.stdout
+
+
+def test_isam2_smart_factor():
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "import sys; sys.argv=['prog']; "
+        "exec(open('examples/isam2_smart_factor.py').read())")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=900)
+    assert "ISAM2-SMART OK" in out.stdout, out.stdout + out.stderr
