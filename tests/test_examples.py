@@ -98,3 +98,25 @@ def test_isam2_smart_factor():
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=900)
     assert "ISAM2-SMART OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_fixed_lag_example():
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "import sys; sys.argv=['prog','--steps','14']; "
+        "exec(open('examples/fixed_lag_smoother.py').read())")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=900)
+    assert "FIXED-LAG OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_inverse_kinematics():
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "import sys; sys.argv=['prog']; "
+        "exec(open('examples/inverse_kinematics.py').read())")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=900)
+    assert "IK OK" in out.stdout, out.stdout + out.stderr
