@@ -80,7 +80,10 @@ def main():
               if args.prealloc else ISAM2Params())
     isam = ISAM2(params)
     px_noise = nm.isotropic(2, args.pixel_sigma, dtype=jnp.float64)
-    pose_prior = nm.sigmas(np.r_[np.full(3, 0.1), np.full(3, 0.3)])
+    # (rot 0.3 rad, trans 0.1 m) — matches the reference example's CODE
+    # (VisualISAM2Example.cpp noise constructor), whose own comment has the
+    # two swapped
+    pose_prior = nm.sigmas(np.r_[np.full(3, 0.3), np.full(3, 0.1)])
     point_prior = nm.isotropic(3, 0.1, dtype=jnp.float64)
 
     delta_pose = np.array([-0.1, 0.2, 0.25, 0.05, -0.10, 0.20])  # (w, v)
@@ -133,7 +136,7 @@ def main():
     from gtsam_personal_tpu.nonlinear import optimizers
     b = GraphBuilder()
     pose_prior_d = {"kind": "diag",
-                    "data": 1.0 / np.r_[np.full(3, 0.1), np.full(3, 0.3)]}
+                    "data": 1.0 / np.r_[np.full(3, 0.3), np.full(3, 0.1)]}
     point_prior_d = {"kind": "diag", "data": np.full(3, 1.0 / 0.1)}
     px_noise_d = {"kind": "diag", "data": np.full(2, 1.0 / args.pixel_sigma)}
     b.add("prior_se3", make_prior_residual("se3"), ("se3",), 6, [0],

@@ -198,7 +198,8 @@ def cpt(frontal: int, parents: Sequence[int], rows: Sequence[Sequence[float]],
     rows = rows / rows.sum(axis=-1, keepdims=True)
     card_f = rows.shape[-1]
     if parents:
-        assert cards is not None, "parent cardinalities required"
+        if cards is None:
+            raise ValueError("parent cardinalities required")
         table = rows.reshape(tuple(cards) + (card_f,))
         table = np.moveaxis(table, -1, 0)
     else:
@@ -215,7 +216,8 @@ def parse_signature(spec: str, frontal: int, parents: Sequence[int],
     rows = [[float(v) for v in tok.split("/")] for tok in spec.split()]
     if len(rows) == 1 and not parents:
         return cpt(frontal, (), rows)
-    assert cards is not None, "parent cardinalities required"
+    if cards is None:
+        raise ValueError("parent cardinalities required")
     import numpy as _np
     expect = int(_np.prod(list(cards)))
     if len(rows) != expect:

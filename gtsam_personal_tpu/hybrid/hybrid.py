@@ -62,34 +62,45 @@ class HybridFactor:
     mode_var: discrete variable id; for each mode m the factor behaves like
     `batch` with measurements meas[m] (pytree with leading [modes] axis)."""
 
-    def __init__(self, batch: FactorBatch, mode_var: int, num_modes: int):
+    def __init__(self, batch: FactorBatch, mode_var: int, num_modes: int,
+                 per_mode_noise: bool = None):
         self.batch = batch          # meas arrays: [modes, K, ...]
         self.mode_var = mode_var
         self.num_modes = num_modes
+        # per-mode noise = data carries a leading [modes] axis. Inferred from
+        # the shape when unambiguous; when K or rdim coincidentally equals
+        # num_modes the shape alone cannot distinguish per-mode from shared
+        # data, so the caller must pass per_mode_noise explicitly.
+        data = batch.noise.data
+        if per_mode_noise is None:
+            looks_per_mode = (data is not None and data.ndim >= 1
+                              and data.shape[0] == num_modes)
+            if looks_per_mode and (batch.idx.shape[0] == num_modes
+                                   or batch.rdim == num_modes):
+                raise ValueError(
+                    "HybridFactor noise shape is ambiguous (leading axis == "
+                    f"num_modes == K or rdim = {num_modes}); pass "
+                    "per_mode_noise=True/False explicitly")
+            per_mode_noise = looks_per_mode
+        self.per_mode_noise = bool(per_mode_noise)
 
     def at_mode(self, m) -> FactorBatch:
         meas = jax.tree.map(lambda x: x[m], self.batch.meas)
         noise = self.batch.noise
-        data = noise.data
-        # per-mode noise is detected by a leading modes axis on the data;
-        # ambiguous when K or rdim coincidentally equals num_modes — give
-        # per-mode data an explicit [modes, ...] leading axis to be safe
-        # (log_normalizer uses the identical test)
-        if data is not None and data.ndim >= 1 and data.shape[0] == self.num_modes:
+        if self.per_mode_noise:
             from gtsam_personal_tpu.linear.noise import NoiseModel
-            noise = NoiseModel(noise.kind, data[m], noise.robust, noise.k)
+            noise = NoiseModel(noise.kind, noise.data[m], noise.robust,
+                               noise.k)
         return FactorBatch(self.batch.name, self.batch.residual_fn,
                            self.batch.groups, self.batch.rdim,
                            self.batch.idx, meas, noise)
 
     def log_normalizer(self, m: int) -> float:
-        """log|det W_m| when the noise is per-mode (data carries a leading
-        modes axis); 0 for shared noise, where the constant cancels across
-        modes. Joins the hypothesis energy so modes with different noise are
-        scored by true negative log-likelihood (reference:
-        HybridGaussianFactor logNormalizers)."""
-        data = self.batch.noise.data
-        if data is None or data.ndim < 1 or data.shape[0] != self.num_modes:
+        """log|det W_m| when the noise is per-mode; 0 for shared noise,
+        where the constant cancels across modes. Joins the hypothesis
+        energy so modes with different noise are scored by true negative
+        log-likelihood (reference: HybridGaussianFactor logNormalizers)."""
+        if not self.per_mode_noise:
             return 0.0
         from gtsam_personal_tpu.linear.noise import log_det_whitener
         return log_det_whitener(self.at_mode(m).noise)

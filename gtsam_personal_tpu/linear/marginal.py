@@ -211,4 +211,5 @@ def _select(b: FactorBatch, rows: np.ndarray) -> FactorBatch:
         k = k[rows]
     return FactorBatch(b.name, b.residual_fn, b.groups, b.rdim,
                        take(b.idx), jax.tree.map(take, b.meas),
-                       NoiseModel(noise.kind, data, noise.robust, k))
+                       NoiseModel(noise.kind, data, noise.robust, k),
+                       sign=b.sign)

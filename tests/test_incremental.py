@@ -77,6 +77,42 @@ def test_marginal_factor_info_matches_schur():
                                Lam_expected, atol=1e-6)
 
 
+def test_antifactor_marginalize_cancels():
+    """A factor batch + its negated() twin contribute nothing through
+    marginalize(): both the involved rows (Schur assembly) and the kept
+    remainder rows (_select) must carry the anti sign (reference:
+    slam/AntiFactor.h:97)."""
+    graph, init = chain_graph(5, loop=False)
+    sol = optimizers.optimize_lm(graph, init)
+    # extra batch with one row touching the marginalized var (0) and one row
+    # touching only kept vars — exercises both the involved path and _select
+    b2 = GraphBuilder()
+    F.add_between(b2, "se2", 0, 1, np.array([1.0, 0.0, 0.1]),
+                  F.diag_noise([0.1, 0.1, 0.1]))
+    F.add_between(b2, "se2", 2, 3, np.array([1.0, 0.0, 0.1]),
+                  F.diag_noise([0.1, 0.1, 0.1]))
+    extra = list(b2.build().batches)
+    anti = [eb.negated() for eb in extra]
+    aug = FactorGraph(list(graph.batches) + extra + anti)
+
+    from gtsam_personal_tpu.linear.linearize import linearize
+    from gtsam_personal_tpu.core.values import Layout
+    layout = Layout.of(sol.values)
+
+    def info_on_kept(g):
+        remaining, marginal, _ = marginalize(g, sol.values, {"se2": [0]})
+        batches = list(remaining.batches)
+        if marginal is not None:
+            batches.append(marginal)
+        H, gv = linearize(FactorGraph(batches), sol.values).assemble_dense(layout)
+        return np.asarray(H)[3:, 3:], np.asarray(gv)[3:]
+
+    H_plain, g_plain = info_on_kept(graph)
+    H_aug, g_aug = info_on_kept(aug)
+    np.testing.assert_allclose(H_aug, H_plain, atol=1e-6)
+    np.testing.assert_allclose(g_aug, g_plain, atol=1e-6)
+
+
 def test_fixed_lag_smoother_tracks_batch():
     """Sliding-window estimates of recent states match full batch."""
     rng = np.random.default_rng(3)

@@ -12,7 +12,7 @@ chunks=(
   "tests/test_incremental_runner.py tests/test_isam2.py tests/test_manhattan.py tests/test_misc_factors.py"
   "tests/test_navigation.py tests/test_pallas_ops.py tests/test_pose2slam.py tests/test_pose3slam.py"
   "tests/test_shonan_gnc.py tests/test_subgraph_lago.py tests/test_triangulation_smart.py tests/test_unstable.py tests/test_utils_averaging.py"
-  "tests/test_dist_schur.py tests/test_parallel.py tests/test_examples.py tests/test_longtail_factors.py"
+  "tests/test_dist_schur.py tests/test_parallel.py tests/test_examples.py"
   "tests/test_incremental.py tests/test_discrete_hybrid.py"
   "tests/test_dist_ba.py tests/test_concurrent.py"
 )
