@@ -129,12 +129,56 @@ def main():
           file=sys.stderr)
 
     ips = iters / dt
+
+    # --- second quality-gated metric: pose-graph batch LM on city10000
+    # (10k poses / 20.7k factors) through the SAME honest-LM machinery:
+    # accept/reject + lambda adaptation + reject-try linearization caching,
+    # N iterations in ONE lax.scan dispatch (optimizers.lm_run), partitioned
+    # Schur solver. BENCH_CITY=0 skips. ---
+    extra = {}
+    if os.environ.get("BENCH_CITY", "1") == "1":
+        from gtsam_personal_tpu.slam import dataset
+        from gtsam_personal_tpu.linear import schur
+        from gtsam_personal_tpu.nonlinear import optimizers
+        graph, initial = dataset.load_2d(
+            dataset.find_example_data("city10000.g2o"), dtype=np.float32)
+        n_poses = initial["se2"].shape[0]
+        plan = schur.make_plan(graph, {"se2": n_poses}, max_part_size=256)
+        params = optimizers.Params(solver="schur")
+        err0c = optimizers.graph_error(graph, initial)
+        iters_c = int(os.environ.get("BENCH_CITY_ITERS", "12"))
+        lam0 = jnp.asarray(1e-5, dtype=err0c.dtype)
+        _, _, ew_c = optimizers.lm_run(graph, initial, lam0, err0c,
+                                       n_iters=iters_c, params=params,
+                                       plan=plan)
+        float(ew_c)                         # compile + warmup sync
+        t0 = time.perf_counter()
+        _, _, ec_c = optimizers.lm_run(graph, initial, lam0, err0c,
+                                       n_iters=iters_c, params=params,
+                                       plan=plan)
+        errc_final = float(ec_c)
+        dt_c = time.perf_counter() - t0
+        # quality gate: the known batch optimum is 0.077 in 11 host-driver
+        # LM iterations (PERFORMANCE.md); 12 scan iterations must land near
+        # it. Explicit raises (python -O strips asserts).
+        if not np.isfinite(errc_final):
+            raise RuntimeError("bench gate: city10000 non-finite error")
+        if not errc_final < 0.2:
+            raise RuntimeError(
+                f"bench gate: city10000 LM stalled at {errc_final} "
+                f"(batch optimum 0.077)")
+        print(f"# city10000: err {float(err0c):.1f} -> {errc_final:.4f}, "
+              f"{iters_c / dt_c:.1f} LM it/s", file=sys.stderr)
+        extra = {"city10000_lm_iters_per_sec": round(iters_c / dt_c, 3),
+                 "city10000_final_error": round(errc_final, 4)}
+
     print(json.dumps({
         "metric": ("ba_lm_iters_per_sec_ladybug1723_uniform" if uniform
                    else "ba_lm_iters_per_sec_ladybug1723_skewed"),
         "value": round(ips, 3),
         "unit": "iterations/sec/chip",
         "vs_baseline": round(ips / 1.0, 3),
+        **extra,
     }))
 
 

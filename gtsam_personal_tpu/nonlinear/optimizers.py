@@ -213,6 +213,52 @@ def optimize_lm(graph: FactorGraph, values: Values, params: Params = Params(),
     return Result(values, err, params.max_iterations, False, lam)
 
 
+@partial(jax.jit, static_argnames=("params", "n_iters", "plan"))
+def lm_run(graph: FactorGraph, values: Values, lam, err, n_iters: int,
+           params: Params = Params(), plan=None):
+    """`n_iters` full LM iterations in ONE lax.scan dispatch — the
+    pose-graph analogue of sfm/ba_pack.ba_lm_run_pk: every iteration is an
+    accept/reject tryLambda step with fixed-factor lambda adaptation
+    (LevenbergMarquardtOptimizer.cpp:121), and a REJECTED try reuses the
+    cached linearization (the state did not move, so relinearizing is
+    bitwise-identical waste; lax.cond executes only the taken branch).
+
+    The carry (values, lambda, error, linearization cache) stays on device
+    for the whole dispatch — no host syncs, no per-iteration tunnel
+    round-trips. Returns (values, lam, err)."""
+    layout = Layout.of(values)
+
+    def lin_of(v):
+        lin = _linearize(graph, v, params)
+        dd = lin.hessian_diagonal() if params.diagonal_damping else None
+        return lin, dd
+
+    lin0, dd0 = lin_of(values)      # first iteration's real linearization
+
+    def body(carry, _):
+        v, lam, err, lin, dd, need = carry
+        lin, dd = jax.lax.cond(need, lambda _: lin_of(v),
+                               lambda _: (lin, dd), None)
+        delta = _solve(lin, layout, lam, dd, params, plan)
+        nv = v.retract(delta)
+        ne = graph.error(nv)
+        ok = jnp.logical_and(jnp.isfinite(ne), ne < err)
+        v2 = jax.tree.map(lambda a, b: jnp.where(ok, a, b), nv, v)
+        err2 = jnp.where(ok, ne, err)
+        lam2 = jnp.where(
+            ok,
+            jnp.maximum(lam / params.lambda_factor,
+                        max(params.lambda_lower_bound, 1e-10)),
+            jnp.minimum(lam * params.lambda_factor,
+                        params.lambda_upper_bound))
+        return (v2, lam2, err2, lin, dd, ok), None
+
+    (v, lam, err, _, _, _), _ = jax.lax.scan(
+        body, (values, lam, err, lin0, dd0, jnp.asarray(False)), None,
+        length=n_iters)
+    return v, lam, err
+
+
 @partial(jax.jit, static_argnames=("params", "max_iterations", "plan"))
 def optimize_lm_jit(graph: FactorGraph, values: Values, params: Params = Params(),
                     max_iterations: Optional[int] = None, plan=None):

@@ -512,17 +512,47 @@ def solve_ba_step_pk(state: BAState, obs: BAObservations, pl: PackLayout,
     (delta_cam [C, 9], delta_point [P, 3]) in ORIGINAL order."""
     lin = linearize_ba_pk(state, obs, pl, robust, robust_k)
     pm = _relayout_pm(pl, lin[0], lin[2])
-    return _solve_from_lin(pl, lin, pm, lam, cg_maxiter, cg_tol)
+    red = _reduce_cache(pl, lin, pm)
+    return _solve_from_lin(pl, lin, pm, red, lam, cg_maxiter, cg_tol)
 
 
-def _solve_from_lin(pl: PackLayout, lin, pm, lam, cg_maxiter=100,
+def _reduce_cache(pl: PackLayout, lin, pm):
+    """Lambda-INDEPENDENT reductions of a linearization, cached alongside
+    it in the LM carry (rejected lambda tries skip them all):
+      Hpp_raw [9, P_slots]  undamped landmark blocks
+      gc      [9, C_slots]  camera gradient
+      gp      [3, P_slots]  landmark gradient
+      Hcc     [81, C_slots] camera diagonal blocks (preconditioner)"""
+    r, Jc, Jp_cm = lin
+    Jp4, r_pm = pm
+    Hpp_raw = _pt_reduce(pl, jnp.stack([
+        sum(Jp4[i, k] * Jp4[i, l] for i in range(2))
+        for k in range(3) for l in range(3)]))
+    gc = _cam_reduce(pl, jnp.stack([
+        sum(Jc[i, j] * r[i] for i in range(2)) for j in range(9)]))
+    gp = _pt_reduce(pl, jnp.stack([
+        sum(Jp4[i, k] * r_pm[i] for i in range(2)) for k in range(3)]))
+    Hcc = _cam_reduce(pl, jnp.stack([
+        sum(Jc[i, j] * Jc[i, k] for i in range(2))
+        for j in range(9) for k in range(9)]))
+    return Hpp_raw, gc, gp, Hcc
+
+
+def _solve_from_lin(pl: PackLayout, lin, pm, red, lam, cg_maxiter=100,
                     cg_tol=1e-6):
     """The lambda-dependent part of the step: consumes a (possibly cached)
     linearization — the reference's tryLambda reuses ONE linearization
     across rejected lambda tries (LevenbergMarquardtOptimizer.cpp:121), and
-    so does ba_lm_run_pk via this split."""
+    so does ba_lm_run_pk via this split.
+
+    The landmark back-substitution's E^T F xc chain is ACCUMULATED inside
+    the CG loop (tacc += alpha * E^T F p — exact by linearity of the
+    chain), saving a whole extra cam_apply + permutation gather + point
+    reduction after CG exits (the permutation gathers are 85% of the
+    matvec cost, PERFORMANCE.md matvec-isolation probe)."""
     r, Jc, Jp_cm = lin
     Jp4, r_pm = pm
+    Hpp_raw, gc, gp, Hcc = red
     dtype = r.dtype
     S = pl.S
 
@@ -550,32 +580,26 @@ def _solve_from_lin(pl: PackLayout, lin, pm, lam, cg_maxiter=100,
         return jnp.stack([sum(Jp4[i, k] * ub[k] for k in range(3))
                           for i in range(2)])
 
-    Hpp = _pt_reduce(pl, jnp.stack([
-        sum(Jp4[i, k] * Jp4[i, l] for i in range(2))
-        for k in range(3) for l in range(3)]))              # [9, P_slots]
-    Hpp = bk.add_scaled_identity_33_T(Hpp, lam + 1e-10)
+    Hpp = bk.add_scaled_identity_33_T(Hpp_raw, lam + 1e-10)
     HppInv = bk.sym33_inv_T(Hpp)
-
-    gc = cam_reduce(r)                                      # [9, C_slots]
-    gp = pt_reduce(r_pm)                                    # [3, P_slots]
 
     hp = bk.sym33_matvec_T(HppInv, gp)
     b_rhs = -gc + cam_reduce(point_to_cam(pt_apply(hp)))
 
-    def schur_matvec(x):
+    def schur_matvec_t(x):
+        """Returns (S x + lam x, E^T F x) — the second output feeds the
+        fused back-substitution accumulator."""
         a = cam_apply(x)
         t = pt_reduce(cam_to_point(a))
         u = bk.sym33_matvec_T(HppInv, t)
         bc = point_to_cam(pt_apply(u))
         y = cam_reduce(a - bc)
-        return y + lam * x
+        return y + lam * x, t
 
-    # block-Jacobi preconditioner of S per camera
+    # block-Jacobi preconditioner of S per camera (Hcc cached; the
+    # Hpp^{-1}-coupled correction Gc is lambda-dependent)
     HppInv_pad = jnp.concatenate([HppInv, jnp.zeros((9, 1), dtype=dtype)],
                                  axis=1)
-    Hcc = _cam_reduce(pl, jnp.stack([
-        sum(Jc[i, j] * Jc[i, k] for i in range(2))
-        for j in range(9) for k in range(9)]))              # [81, C_slots]
     Wt = [sum(Jc[i, a] * Jp_cm[i, b] for i in range(2))
           for a in range(9) for b in range(3)]              # 27 x [S]
     Hi = HppInv_pad[:, pl.pt_srt_cm]                        # [9, S]
@@ -589,10 +613,34 @@ def _solve_from_lin(pl: PackLayout, lin, pm, lam, cg_maxiter=100,
     cho_apply = jax.vmap(lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
     precond = lambda x: cho_apply(Ls, x.T).T                # x [9, C_slots]
 
-    xc = pcg(schur_matvec, b_rhs, precond, cg_maxiter, cg_tol)
+    # PCG with the fused E^T F x accumulator (ba.pcg formulas + tacc carry)
+    x0 = jnp.zeros_like(b_rhs)
+    z0 = precond(b_rhs)
+    rz0 = jnp.vdot(b_rhs, z0)
+    thr = (cg_tol ** 2) * jnp.vdot(b_rhs, b_rhs)
+    tacc0 = jnp.zeros_like(gp)
 
-    t = pt_reduce(cam_to_point(cam_apply(xc)))
-    xp = bk.sym33_matvec_T(HppInv, -gp - t)                 # [3, P_slots]
+    def cond(s):
+        k, x, rr, z, p, rz, tacc = s
+        return jnp.logical_and(k < cg_maxiter, jnp.vdot(rr, rr) > thr)
+
+    def body(s):
+        k, x, rr, z, p, rz, tacc = s
+        Ap, tp = schur_matvec_t(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        tacc = tacc + alpha * tp
+        rr = rr - alpha * Ap
+        z = precond(rr)
+        rz_new = jnp.vdot(rr, z)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        return k + 1, x, rr, z, z + beta * p, rz_new, tacc
+
+    _, xc, _, _, _, _, tacc = jax.lax.while_loop(
+        cond, body, (0, x0, b_rhs, z0, z0, rz0, tacc0))
+
+    xp = bk.sym33_matvec_T(HppInv, -gp - tacc)              # [3, P_slots]
     xc_orig = xc.T[pl.cam_orig2slot]                        # [C, 9]
     xp_orig = xp.T[pl.pt_orig2slot]                         # [P, 3]
     return xc_orig, xp_orig
@@ -617,20 +665,22 @@ def _lm_iter_body(state, obs, pl, lam, err, cg_maxiter, lam_lo, lam_hi,
     return new_state, new_lam, new_err
 
 
-def _lm_iter_cached(state, obs, pl, lam, err, lin, pm, need_relin,
+def _lm_iter_cached(state, obs, pl, lam, err, lin, pm, red, need_relin,
                     cg_maxiter, lam_lo, lam_hi, robust, robust_k):
     """LM iteration that RELINEARIZES ONLY AFTER AN ACCEPT: on a rejected
     try the state is unchanged, so the cached linearization is bitwise
     identical to recomputing it — the reference's tryLambda semantics
     (one linearize per outer iteration). lax.cond executes only the taken
-    branch on TPU, so rejected iterations skip the whole linearize+relayout
-    cost."""
+    branch on TPU, so rejected iterations skip the whole linearize +
+    relayout + lambda-independent-reduction cost."""
     def fresh(_):
         l = linearize_ba_pk(state, obs, pl, robust, robust_k)
-        return l, _relayout_pm(pl, l[0], l[2])
+        p = _relayout_pm(pl, l[0], l[2])
+        return l, p, _reduce_cache(pl, l, p)
 
-    lin, pm = jax.lax.cond(need_relin, fresh, lambda _: (lin, pm), None)
-    xc, xp = _solve_from_lin(pl, lin, pm, lam, cg_maxiter)
+    lin, pm, red = jax.lax.cond(need_relin, fresh,
+                                lambda _: (lin, pm, red), None)
+    xc, xp = _solve_from_lin(pl, lin, pm, red, lam, cg_maxiter)
     trial = retract_ba(state, xc, xp)
     err_t = ba_error_pk(trial, obs, pl, robust, robust_k)
     ok = jnp.isfinite(err_t) & (err_t < err)
@@ -638,7 +688,7 @@ def _lm_iter_cached(state, obs, pl, lam, err, lin, pm, need_relin,
     new_err = jnp.where(ok, err_t, err)
     new_lam = jnp.where(ok, jnp.maximum(lam * 0.5, lam_lo),
                         jnp.minimum(lam * 4.0, lam_hi))
-    return new_state, new_lam, new_err, lin, pm, ok
+    return new_state, new_lam, new_err, lin, pm, red, ok
 
 
 @partial(jax.jit, static_argnames=("cg_maxiter", "robust"))
@@ -666,16 +716,20 @@ def ba_lm_run_pk(state: BAState, obs: BAObservations, pl: PackLayout,
             jnp.zeros((2, 3, S), dtype))
     pm0 = (jnp.zeros((2, 3, PT_H, pl.PTC), dtype),
            jnp.zeros((2, PT_H, pl.PTC), dtype))
+    red0 = (jnp.zeros((9, pl.P_slots), dtype),
+            jnp.zeros((9, pl.C_slots), dtype),
+            jnp.zeros((3, pl.P_slots), dtype),
+            jnp.zeros((81, pl.C_slots), dtype))
 
     def body(carry, _):
-        st, lm, er, lin, pm, need = carry
-        st, lm, er, lin, pm, ok = _lm_iter_cached(
-            st, obs, pl, lm, er, lin, pm, need, cg_maxiter, lam_lo, lam_hi,
-            robust, robust_k)
-        return (st, lm, er, lin, pm, ok), None
+        st, lm, er, lin, pm, red, need = carry
+        st, lm, er, lin, pm, red, ok = _lm_iter_cached(
+            st, obs, pl, lm, er, lin, pm, red, need, cg_maxiter, lam_lo,
+            lam_hi, robust, robust_k)
+        return (st, lm, er, lin, pm, red, ok), None
 
-    (st, lm, er, _, _, _), _ = jax.lax.scan(
-        body, (state, lam, err, lin0, pm0, jnp.asarray(True)), None,
+    (st, lm, er, _, _, _, _), _ = jax.lax.scan(
+        body, (state, lam, err, lin0, pm0, red0, jnp.asarray(True)), None,
         length=n_iters)
     return st, lm, er
 

@@ -125,6 +125,25 @@ class TestPose2SLAM:
         assert float(err) < 1e-9
         assert_poses_close(values["se2"], expected, atol=1e-5)
 
+    def test_lm_run_scan(self):
+        """Single-dispatch LM scan (accept/reject + reject-try linearization
+        caching) reaches the same optimum as the host-loop driver."""
+        graph, initial, expected = build_example()
+        err0 = optimizers.graph_error(graph, initial)
+        lam0 = jnp.asarray(1e-5, dtype=err0.dtype)
+        v, lam, err = optimizers.lm_run(graph, initial, lam0, err0,
+                                        n_iters=12)
+        assert float(err) < 1e-9
+        assert_poses_close(v["se2"], expected, atol=1e-5)
+        # schur solver route through the same scan
+        from gtsam_personal_tpu.linear import schur
+        plan = schur.make_plan(graph, {"se2": 5}, max_part_size=3)
+        v2, _, err2 = optimizers.lm_run(
+            graph, initial, lam0, err0, n_iters=12,
+            params=optimizers.Params(solver="schur"), plan=plan)
+        assert float(err2) < 1e-9
+        assert_poses_close(v2["se2"], expected, atol=1e-5)
+
     def test_graph_error_at_truth_zero(self):
         graph, initial, expected = build_example()
         truth = Values({"se2": jnp.asarray(expected)})
