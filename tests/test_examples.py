@@ -29,6 +29,20 @@ def test_stereo_vo_large():
     assert "STEREO-VO OK" in out.stdout, out.stdout + out.stderr
 
 
+def test_parity_suite():
+    """The 11 long-tail reference-example parities (GNC, LAGO, SPCG, LOST,
+    fisheye, combined IMU, the two Point2 Kalman examples, essential view
+    graph, METIS ordering, Pose3 chordal init)."""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "import sys; sys.argv=['prog']; "
+        "exec(open('examples/parity_suite.py').read())")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=1800)
+    assert "PARITY-SUITE OK" in out.stdout, out.stdout + out.stderr
+
+
 def test_tutorials():
     code = (
         "import jax; jax.config.update('jax_platforms','cpu'); "

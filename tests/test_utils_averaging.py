@@ -42,6 +42,52 @@ class TestUtils:
         e2 = float(optimizers.graph_error(g2, v2))
         np.testing.assert_allclose(e1, e2, rtol=1e-12)
 
+    def test_serialization_mixed_graph_auto_resolve(self, tmp_path):
+        """A graph mixing closure factories, module-level residual functions
+        (projection, GPS, bearing-range, stereo) and an AntiFactor batch
+        round-trips with NO manual register_residual calls: module-level
+        functions resolve by recorded (module, qualname), factory closures
+        by reconstruction, and the anti sign survives."""
+        rng = np.random.default_rng(0)
+        b = GraphBuilder()
+        # closure factories over several groups
+        F.add_prior(b, "se2", 0, np.zeros(3), F.diag_noise([0.3, 0.3, 0.1]))
+        F.add_between(b, "se2", 0, 1, np.array([1.0, 0, 0.1]),
+                      F.diag_noise([0.1] * 3))
+        pose3 = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+        F.add_prior(b, "se3", 0, pose3, F.diag_noise([0.1] * 6))
+        F.add_prior(b, "point3", 0, np.zeros(3), F.diag_noise([0.1] * 3))
+        # module-level residual functions (no registry entries)
+        b.add("proj", F.projection_residual, ("se3", "point3"), 2, [0, 0],
+              {"measured": np.array([1.0, 2.0]),
+               "cal": np.array([500.0, 500.0, 0.0, 320.0, 240.0])},
+              F.diag_noise([1.0, 1.0]))
+        b.add("brange", F.bearing_range_2d_residual, ("se2", "point2"), 2,
+              [1, 0], {"bearing": np.array(0.3), "range": np.array(2.0)},
+              F.diag_noise([0.1, 0.2]))
+        b.add("stereo", F.stereo_residual, ("se3", "point3"), 3, [0, 0],
+              {"measured": np.array([100.0, 90.0, 50.0]),
+               "cal": np.array([500.0, 500.0, 0.0, 320.0, 240.0, 0.1])},
+              F.diag_noise([1.0] * 3))
+        graph = b.build()
+        # an anti twin of the between batch (sign must round-trip)
+        bi = [i for i, bb in enumerate(graph.batches)
+              if bb.name == "between_se2"][0]
+        graph = FactorGraph(list(graph.batches) +
+                            [graph.batches[bi].negated()])
+        values = Values({
+            "se2": jnp.asarray(rng.normal(size=(2, 3))),
+            "se3": jnp.asarray(pose3)[None],
+            "point3": jnp.asarray([[0.1, 0.2, 5.0]]),
+            "point2": jnp.asarray([[1.5, 0.5]])})
+        gp = str(tmp_path / "mixed.npz")
+        serialization.save_graph(gp, graph)
+        g2 = serialization.load_graph(gp)
+        e1 = float(optimizers.graph_error(graph, values))
+        e2 = float(optimizers.graph_error(g2, values))
+        np.testing.assert_allclose(e1, e2, rtol=1e-12)
+        assert g2.batches[-1].sign == -1.0
+
     def test_dot_export(self):
         b = GraphBuilder()
         F.add_between(b, "se2", 0, 1, np.array([1.0, 0, 0]), F.diag_noise([1, 1, 1]))
