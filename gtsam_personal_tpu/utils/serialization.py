@@ -86,6 +86,129 @@ def load_values(path: str, dtype=None) -> Values:
     return Values({k: cast(data[k]) for k in data.files})
 
 
+def _fn_desc(fn):
+    return {"residual_module": getattr(fn, "__module__", None),
+            "residual_qualname": getattr(fn, "__qualname__", None)}
+
+
+def save_isam2(path: str, engine):
+    """Snapshot a FULL resident ISAM2 engine: params, host staging mirrors,
+    and the device `_State` (theta / delta / nvar / per-batch capacity
+    arrays INCLUDING the cached whitened (J, r) blocks and needs_lin
+    flags). The reference analogue is SolverComparer's solver-state
+    save/restore (examples/SolverComparer.cpp:416-519). The preconditioner
+    cache is NOT saved — the restored engine rebuilds it on the next
+    update (a refresh that would have happened within `precond_refresh`
+    updates anyway)."""
+    import pickle
+    import numpy as np_
+    eng = engine
+    hosts = {}
+    for key in eng._batch_keys:
+        h = eng._hosts[key]
+        hosts[key] = {k: v for k, v in h.items() if k != "residual_fn"}
+        hosts[key]["residual_desc"] = _fn_desc(h["residual_fn"])
+    dev = None
+    if eng._state is not None:
+        batches = []
+        for b in eng._state.batches:
+            batches.append({
+                "name": b.name, "groups": b.groups, "rdim": b.rdim,
+                "noise_kind": b.noise_kind, "robust": b.robust,
+                "residual_desc": _fn_desc(b.residual_fn),
+                "idx": np_.asarray(b.idx),
+                "meas": {k: np_.asarray(v) for k, v in b.meas.items()},
+                "noise_data": (None if b.noise_data is None
+                               else np_.asarray(b.noise_data)),
+                "noise_k": (None if b.noise_k is None
+                            else np_.asarray(b.noise_k)),
+                "J": tuple(np_.asarray(x) for x in b.J),
+                "r": np_.asarray(b.r),
+                "nfac": np_.asarray(b.nfac),
+                "needs_lin": np_.asarray(b.needs_lin)})
+        dev = {"theta": {g: np_.asarray(v)
+                         for g, v in eng._state.theta.items()},
+               "delta": {g: np_.asarray(v)
+                         for g, v in eng._state.delta.items()},
+               "nvar": {g: np_.asarray(v)
+                        for g, v in eng._state.nvar.items()},
+               "batches": batches}
+    blob = {"params": eng.params,
+            "theta_host": eng._theta_host, "nvar": eng._nvar,
+            "cap_n": eng._cap_n, "pending_vars": eng._pending_vars,
+            "batch_keys": eng._batch_keys, "hosts": hosts, "dev": dev,
+            "rebuild": eng._rebuild}
+    with open(path, "wb") as f:
+        pickle.dump(blob, f)
+
+
+def load_isam2(path: str):
+    """Restore an ISAM2 engine saved by save_isam2; continuing the stream
+    produces the identical trajectory (the device state is the engine's
+    entire memory; the preconditioner rebuilds on the first update)."""
+    import pickle
+    from gtsam_personal_tpu.nonlinear.isam2 import ISAM2, _State, _BatchState
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+
+    def resolve(name, groups, desc):
+        return _resolve_residual({"name": name, "groups": list(groups),
+                                  **desc})
+
+    eng = ISAM2(blob["params"])
+    eng._theta_host = blob["theta_host"]
+    eng._nvar = blob["nvar"]
+    eng._cap_n = blob["cap_n"]
+    eng._pending_vars = blob["pending_vars"]
+    eng._batch_keys = blob["batch_keys"]
+    eng._hosts = {}
+    for key, h in blob["hosts"].items():
+        hh = {k: v for k, v in h.items() if k != "residual_desc"}
+        hh["residual_fn"] = resolve(key[0], key[1], h["residual_desc"])
+        eng._hosts[key] = hh
+    dev = blob["dev"]
+    if dev is not None:
+        batches = []
+        for b in dev["batches"]:
+            batches.append(_BatchState(
+                b["name"], resolve(b["name"], b["groups"],
+                                   b["residual_desc"]),
+                b["groups"], b["rdim"], b["noise_kind"], b["robust"],
+                jnp.asarray(b["idx"]),
+                {k: jnp.asarray(v) for k, v in b["meas"].items()},
+                None if b["noise_data"] is None else jnp.asarray(
+                    b["noise_data"]),
+                None if b["noise_k"] is None else jnp.asarray(b["noise_k"]),
+                tuple(jnp.asarray(x) for x in b["J"]),
+                jnp.asarray(b["r"]), jnp.asarray(b["nfac"]),
+                jnp.asarray(b["needs_lin"])))
+        eng._state = _State(
+            {g: jnp.asarray(v) for g, v in dev["theta"].items()},
+            {g: jnp.asarray(v) for g, v in dev["delta"].items()},
+            {g: jnp.asarray(v) for g, v in dev["nvar"].items()},
+            batches)
+    eng._rebuild = blob["rebuild"]
+    eng._pcache = None
+    return eng
+
+
+def save_lm_carry(path: str, values: Values, lam, err):
+    """Checkpoint an lm_run / optimize_ba_pk outer carry (values, lambda,
+    error). Restoring and continuing reproduces the uninterrupted run
+    exactly: the first post-restore iteration relinearizes at the restored
+    values, which is bitwise what the cached-linearization carry held."""
+    np.savez(path, __lam__=np.asarray(lam), __err__=np.asarray(err),
+             **{g: np.asarray(v) for g, v in values.blocks.items()})
+
+
+def load_lm_carry(path: str, dtype=None):
+    data = np.load(path)
+    cast = (lambda x: jnp.asarray(x, dtype=dtype)) if dtype else jnp.asarray
+    vals = Values({k: cast(data[k]) for k in data.files
+                   if not k.startswith("__")})
+    return vals, cast(data["__lam__"]), cast(data["__err__"])
+
+
 def save_graph(path: str, graph: FactorGraph):
     arrays = {}
     header = []

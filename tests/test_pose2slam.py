@@ -144,6 +144,30 @@ class TestPose2SLAM:
         assert float(err2) < 1e-9
         assert_poses_close(v2["se2"], expected, atol=1e-5)
 
+    def test_lm_carry_checkpoint_resume(self, tmp_path):
+        """Kill/resume mid-run: 6 scan iterations + checkpoint + 6 more
+        equals one uninterrupted 12-iteration run exactly (the restored
+        first iteration relinearizes at the restored values — bitwise the
+        cached carry content)."""
+        from gtsam_personal_tpu.utils.serialization import (load_lm_carry,
+                                                            save_lm_carry)
+        graph, initial, expected = build_example()
+        err0 = optimizers.graph_error(graph, initial)
+        lam0 = jnp.asarray(1e-5, dtype=err0.dtype)
+        v_all, lam_all, err_all = optimizers.lm_run(graph, initial, lam0,
+                                                    err0, n_iters=12)
+        v6, lam6, err6 = optimizers.lm_run(graph, initial, lam0, err0,
+                                           n_iters=6)
+        ck = str(tmp_path / "carry.npz")
+        save_lm_carry(ck, v6, lam6, err6)
+        vr, lamr, errr = load_lm_carry(ck)
+        v_res, _, err_res = optimizers.lm_run(graph, vr, lamr, errr,
+                                              n_iters=6)
+        np.testing.assert_allclose(float(err_res), float(err_all),
+                                   rtol=1e-12, atol=1e-300)
+        np.testing.assert_allclose(np.asarray(v_res["se2"]),
+                                   np.asarray(v_all["se2"]), atol=1e-12)
+
     def test_graph_error_at_truth_zero(self):
         graph, initial, expected = build_example()
         truth = Values({"se2": jnp.asarray(expected)})
