@@ -167,6 +167,11 @@ class ISAM2:
         self._hosts: Dict[tuple, dict] = {}
         self._state: Optional[_State] = None
         self._rebuild = True     # capacity layout changed -> full rebuild
+        # bounded-memory eviction (marginalizeLeaves analogue): freed
+        # variable slots are RECYCLED by add_variable, and device nvar is
+        # mirrored on host so injection counts stay correct under reuse
+        self._free_vars: Dict[str, List[int]] = {}
+        self._nvar_dev: Dict[str, int] = {}
 
     # -- staging (host) ------------------------------------------------------
     def add_variable(self, group: str, value) -> int:
@@ -181,6 +186,12 @@ class ISAM2:
             self._cap_n[group] = cap
             self._pending_vars[group] = []
             self._rebuild = True
+        free = self._free_vars.get(group)
+        if free:                      # recycle an evicted slot (bounded cap)
+            i = free.pop()
+            self._theta_host[group][i] = np.asarray(value, dtype=dt)
+            self._pending_vars[group].append(i)
+            return i
         if self._nvar[group] + 1 > self._cap_n[group]:
             self._cap_n[group] *= 2
             ident = np.asarray(m.identity(jnp.float64), dtype=dt)
@@ -310,6 +321,7 @@ class ISAM2:
                                        nkind, rob, idx, meas, nd, nk, J, r,
                                        jnp.asarray(h["k"], jnp.int32), needs))
         self._state = _State(theta, delta, nvar, batches)
+        self._nvar_dev = dict(self._nvar)
         self._rebuild = False
 
     def _inject_pending(self):
@@ -325,9 +337,12 @@ class ISAM2:
             ids = np.full(P, cap, dtype=np.int32)   # pad -> OOB (dropped)
             ids[: len(pend)] = pend
             vals = self._theta_host[g][np.minimum(ids, cap - 1)]
+            # recycled slots sit below device nvar — count only FRESH vars
+            fresh = self._nvar[g] - self._nvar_dev.get(g, 0)
             theta[g], delta[g], nvar[g] = _append_vars(
                 theta[g], delta[g], nvar[g], jnp.asarray(ids),
-                jnp.asarray(vals), len(pend))
+                jnp.asarray(vals), fresh)
+            self._nvar_dev[g] = self._nvar[g]
             self._pending_vars[g] = []
         batches = []
         for key, b in zip(self._batch_keys, st.batches):
@@ -410,6 +425,87 @@ class ISAM2:
         self._flush_staged()
         return float(_isam2_error(self._state))
 
+    def marginalize_variables(self, marg: Dict[str, Sequence[int]]):
+        """In-engine eviction — the reference's ISAM2::marginalizeLeaves
+        (nonlinear/ISAM2.h:199) / IncrementalFixedLagSmoother analogue.
+
+        Factor rows touching the evicted variables are Schur-complemented
+        (at the CURRENT estimate theta ⊞ delta) into ONE dense Gaussian
+        prior over their Markov blanket, which re-enters through the normal
+        staging path; the rows are removed (host mirrors compacted, every
+        surviving row marked for relinearization), and the evicted variable
+        slots join a free list that add_variable RECYCLES — so an unbounded
+        stream runs at bounded device memory. The per-eviction cost is
+        O(window), not O(stream).
+
+        Note: the boundary's (groups, dim) signature keys the marginal's
+        batch; streams whose eviction boundary signature is stable (chains,
+        fixed-lag windows) re-use one batch and one compiled program."""
+        self._flush_staged()
+        est = self.calculate_estimate()
+        marg_sets = {g: set(map(int, ix)) for g, ix in marg.items()}
+        from gtsam_personal_tpu.core.graph import FactorBatch, FactorGraph
+        from gtsam_personal_tpu.linear import marginal as marg_mod
+
+        involved, removals = [], {}
+        for key in self._batch_keys:
+            h = self._hosts[key]
+            name, groups, rdim, nkind, rob = key
+            k = h["k"]
+            if k == 0:
+                continue
+            idx = h["idx"][:, :k]
+            hit = np.zeros(k, dtype=bool)
+            for s, g in enumerate(groups):
+                if marg_sets.get(g):
+                    hit |= np.isin(idx[s], list(marg_sets[g]))
+            rows = np.where(hit)[0]
+            if rows.size == 0:
+                continue
+            removals[key] = rows
+            meas = {mk: jnp.asarray(mv[rows]) for mk, mv in h["meas"].items()}
+            nd = (None if h["noise_data"] is None
+                  else jnp.asarray(h["noise_data"][rows]))
+            nk = (None if h["noise_k"] is None
+                  else jnp.asarray(h["noise_k"][rows]))
+            involved.append(FactorBatch(
+                name, h["residual_fn"], groups, rdim,
+                jnp.asarray(np.ascontiguousarray(idx[:, rows].T)), meas,
+                NoiseModel(nkind, nd, rob, nk)))
+
+        if involved:
+            _, mbatch, bound = marg_mod.marginalize(
+                FactorGraph(involved), est, marg)
+            for key, rows in removals.items():
+                self._remove_rows(key, rows)
+            if mbatch is not None:
+                meas1 = {mk: np.asarray(mv[0])
+                         for mk, mv in mbatch.meas.items()}
+                self.add_factor(mbatch.name, mbatch.residual_fn,
+                                mbatch.groups, mbatch.rdim,
+                                [i for _, i in bound], meas1,
+                                NoiseModel("unit"))
+        for g, ids in marg_sets.items():
+            self._free_vars.setdefault(g, []).extend(sorted(ids))
+        self._rebuild = True
+
+    def _remove_rows(self, key, rows):
+        """Compact a host batch mirror after eviction: surviving rows slide
+        down, every row is marked pending (the cached device (J, r) blocks
+        no longer line up and must relinearize once)."""
+        h = self._hosts[key]
+        keep = np.setdiff1d(np.arange(h["k"]), rows)
+        kk = len(keep)
+        h["idx"][:, :kk] = h["idx"][:, keep]
+        for mk in h["meas"]:
+            h["meas"][mk][:kk] = h["meas"][mk][keep]
+        if h["noise_data"] is not None:
+            h["noise_data"][:kk] = h["noise_data"][keep]
+        if h["noise_k"] is not None:
+            h["noise_k"][:kk] = h["noise_k"][keep]
+        h["k"] = kk
+        h["pending"] = list(range(kk))
+
     def clone(self) -> "ISAM2":
         """Cheap fork of the engine (hypothesis branching for hybrid
         inference). Device pytrees (_state, _pcache) are immutable —
@@ -440,6 +536,8 @@ class ISAM2:
             }
         c._state = self._state
         c._rebuild = self._rebuild
+        c._free_vars = {g: list(v) for g, v in self._free_vars.items()}
+        c._nvar_dev = dict(self._nvar_dev)
         return c
 
     def estimate_array(self, group: str) -> np.ndarray:

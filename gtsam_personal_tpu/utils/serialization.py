@@ -137,7 +137,8 @@ def save_isam2(path: str, engine):
             "theta_host": eng._theta_host, "nvar": eng._nvar,
             "cap_n": eng._cap_n, "pending_vars": eng._pending_vars,
             "batch_keys": eng._batch_keys, "hosts": hosts, "dev": dev,
-            "rebuild": eng._rebuild}
+            "rebuild": eng._rebuild, "free_vars": eng._free_vars,
+            "nvar_dev": eng._nvar_dev}
     with open(path, "wb") as f:
         pickle.dump(blob, f)
 
@@ -188,6 +189,8 @@ def load_isam2(path: str):
             {g: jnp.asarray(v) for g, v in dev["nvar"].items()},
             batches)
     eng._rebuild = blob["rebuild"]
+    eng._free_vars = blob.get("free_vars", {})
+    eng._nvar_dev = blob.get("nvar_dev", dict(eng._nvar))
     eng._pcache = None
     return eng
 

@@ -364,3 +364,73 @@ def test_isam2_checkpoint_resume(tmp_path):
     # the same solution within its tolerance
     assert abs(e1 - e2) < 1e-6 * max(e1, 1.0), (e1, e2)
     np.testing.assert_allclose(est1, est2, atol=1e-5)
+
+
+def test_isam2_eviction_bounded_memory():
+    """marginalizeLeaves analogue: a 200-pose stream with a 10-pose lag
+    window runs at BOUNDED device capacity (variable and factor slots are
+    recycled), and the surviving window matches the full batch solve."""
+    rng = np.random.default_rng(11)
+    n, lag = 200, 10
+    params = ISAM2Params(relinearize_threshold=0.01, cg_maxiter=40,
+                         cg_tol=1e-8, relin_chunk=64)
+    isam = ISAM2(params)
+    rb = F.make_between_residual("se2")
+    pr = F.make_prior_residual("se2")
+    prior_noise = nz.NoiseModel("diag", jnp.asarray(1.0 / PRIOR_SIGMAS))
+    between_noise = nz.NoiseModel("diag", jnp.asarray(1.0 / SIGMAS))
+
+    gt = [np.zeros(3)]
+    for k in range(1, n):
+        step = np.array([1.0, 0.0, 0.02])
+        gt.append(np.asarray(se2.compose(jnp.asarray(gt[-1]),
+                                         jnp.asarray(step))))
+    meas = []
+    for k in range(1, n):
+        m = np.asarray(se2.between(jnp.asarray(gt[k - 1]),
+                                   jnp.asarray(gt[k])))
+        meas.append(m + rng.normal(0, [0.03, 0.03, 0.005]))
+
+    slot_of = {0: isam.add_variable("se2", np.zeros(3))}
+    isam.add_factor("prior_se2", pr, ["se2"], 3, [slot_of[0]],
+                    {"prior": np.zeros(3)}, prior_noise)
+    isam.update()
+    live = [0]
+    for k in range(1, n):
+        prev = isam.estimate_at("se2", slot_of[k - 1])
+        init = np.asarray(se2.compose(jnp.asarray(prev),
+                                      jnp.asarray(meas[k - 1])))
+        slot_of[k] = isam.add_variable("se2", init)
+        isam.add_factor("between_se2", rb, ["se2", "se2"], 3,
+                        [slot_of[k - 1], slot_of[k]],
+                        {"measured": meas[k - 1]}, between_noise)
+        isam.update()
+        live.append(k)
+        if len(live) > lag + 1:
+            old = live.pop(0)
+            isam.marginalize_variables({"se2": [slot_of[old]]})
+            isam.update()
+
+    # BOUNDED memory: 200 poses streamed, capacity never grew past the
+    # 64-slot floor because evicted slots are recycled
+    assert isam._cap_n["se2"] == 64, isam._cap_n
+    for key, h in isam._hosts.items():
+        assert h["cap"] <= 64, (key, h["cap"])
+
+    # window estimates match the full batch solve (marginalization is the
+    # exact Schur complement at the running linearization points; the only
+    # slack is nonlinear re-anchoring along the stream)
+    gb = GraphBuilder()
+    gb.add("prior_se2", pr, ["se2"], 3, [0], {"prior": np.zeros(3)},
+           {"kind": "diag", "data": 1.0 / PRIOR_SIGMAS})
+    for k in range(1, n):
+        gb.add("between_se2", rb, ["se2", "se2"], 3, [k - 1, k],
+               {"measured": meas[k - 1]},
+               {"kind": "diag", "data": 1.0 / SIGMAS})
+    batch = optimizers.optimize_lm(
+        gb.build(), Values({"se2": jnp.asarray(np.stack(gt))}),
+        optimizers.Params(max_iterations=30))
+    best = np.asarray(batch.values["se2"])
+    got = np.stack([isam.estimate_at("se2", slot_of[k]) for k in live])
+    np.testing.assert_allclose(got[:, :2], best[np.asarray(live), :2],
+                               atol=2e-3)
