@@ -113,6 +113,38 @@ def refine_nonlinear(poses, measurements_unit, point0, iters=5):
     return point
 
 
+def refine_nonlinear_implicit(poses, measurements_unit, point0, iters=5):
+    """refine_nonlinear wrapped in lax.custom_root: the PRIMAL value is the
+    same fixed-iteration GN refinement, but DIFFERENTIATION goes through the
+    implicit function theorem at the returned point — the derivative of the
+    argmin, i.e. the exact Schur-complement ("variable projection")
+    Jacobian the reference builds explicitly at the triangulated point
+    (slam/SmartFactorBase.h:320 / CameraSet::SchurComplement), instead of
+    differentiating through the truncated iteration tape."""
+    def resid_all(point):
+        def resid(pose, uv):
+            pc = se3.transform_to(pose, point)
+            z = pc[2]
+            z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+            return jnp.stack([pc[0] / z_safe, pc[1] / z_safe]) - uv
+        return jax.vmap(resid)(poses, measurements_unit).reshape(-1)
+
+    def grad(point):                      # g(p) = J^T r, zero at the argmin
+        r = resid_all(point)
+        J = jax.jacfwd(resid_all)(point)
+        return J.T @ r
+
+    def solve(_f, x0):
+        return refine_nonlinear(poses, measurements_unit, x0, iters=iters)
+
+    def tangent_solve(g, y):
+        A = jax.jacfwd(g)(jnp.zeros_like(y))
+        A = A + 1e-10 * jnp.eye(3, dtype=y.dtype)   # degenerate-track guard
+        return jnp.linalg.solve(A, y)
+
+    return jax.lax.custom_root(grad, point0, solve, tangent_solve)
+
+
 def triangulate_safe(poses, measurements_unit, rank_tol=1e-9, refine=True,
                      min_depth=1e-3) -> TriangulationResult:
     """triangulateSafe analogue: DLT + optional refinement + cheirality and

@@ -27,14 +27,23 @@ from gtsam_personal_tpu.geometry import se3, triangulation as tri
 from gtsam_personal_tpu.linear.noise import NoiseModel
 
 
-def make_smart_residual(track_len: int, refine_iters: int = 3):
+def make_smart_residual(track_len: int, refine_iters: int = 3,
+                        implicit: bool = True):
+    """implicit=True (default) differentiates the embedded triangulation
+    via the implicit function theorem (triangulation.py
+    refine_nonlinear_implicit) — the EXACT Schur-complement Jacobian at the
+    triangulated point, matching the reference's explicit construction
+    (slam/SmartFactorBase.h:320) even where a truncated-iteration tape
+    would be off; implicit=False keeps the old unrolled-tape autodiff."""
     T = track_len
 
     def residual(xs, meas):
         poses = jnp.stack(xs)                    # [T, 3, 4]
         uv = meas["uv"]                          # [T, 2] unit-plane
         point, degenerate = tri.triangulate_dlt(poses, uv)
-        point = tri.refine_nonlinear(poses, uv, point, iters=refine_iters)
+        refine = (tri.refine_nonlinear_implicit if implicit
+                  else tri.refine_nonlinear)
+        point = refine(poses, uv, point, iters=refine_iters)
         depths = jax.vmap(lambda p: se3.transform_to(p, point)[2])(poses)
         ok = jnp.logical_and(jnp.logical_not(degenerate),
                              jnp.all(depths > 1e-3))

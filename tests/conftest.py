@@ -18,3 +18,21 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _jax_cache_fence():
+    """Clear XLA compilation caches between test MODULES.
+
+    A single pytest process running the whole suite used to SEGFAULT in
+    XLA-CPU compilation after ~200 tests: compiled-executable memory
+    accumulates monotonically across modules (each module compiles many
+    distinctly-shaped programs) until the compiler allocator falls over.
+    Clearing per module bounds resident compiled programs by the largest
+    single module, which lets the suite run in a few big chunks
+    (tools/run_tests.sh) instead of 10 isolated processes."""
+    yield
+    jax.clear_caches()

@@ -169,3 +169,69 @@ class TestSmartStereo:
                                      optimizers.Params(max_iterations=50))
         np.testing.assert_allclose(np.asarray(res.values["se3"][2]),
                                    np.asarray(poses[2]), atol=1e-5)
+
+
+class TestImplicitSmartJacobian:
+    """The smart residual's Jacobian must be the EXACT Schur-complement
+    (variable-projection) Jacobian at the triangulated point (reference:
+    SmartFactorBase.h:320), not an autodiff tape through truncated GN."""
+
+    def _jacobians(self, poses, uv, refine_iters, implicit):
+        res = smart.make_smart_residual(poses.shape[0],
+                                        refine_iters=refine_iters,
+                                        implicit=implicit)
+        meas = {"uv": uv}
+
+        def f(xi_flat):
+            xis = xi_flat.reshape(poses.shape[0], 6)
+            xs = tuple(se3.retract(poses[t], xis[t])
+                       for t in range(poses.shape[0]))
+            return res(xs, meas)
+
+        return f
+
+    def test_implicit_matches_fd_converged(self):
+        poses, uv, point = make_scene(4)
+        # noisy measurements so the argmin is a genuine compromise point
+        uv = uv + 1e-3 * jnp.asarray(
+            np.random.default_rng(0).normal(size=uv.shape))
+        f = self._jacobians(poses, uv, refine_iters=8, implicit=True)
+        x0 = jnp.zeros(24)
+        J_ad = np.asarray(jax.jacfwd(f)(x0))
+        from gtsam_personal_tpu.testing.numerical import numerical_jacobian
+        J_fd = np.asarray(numerical_jacobian(
+            lambda x: f(jnp.asarray(x)), np.zeros(24)))
+        np.testing.assert_allclose(J_ad, J_fd, atol=5e-5)
+
+    def test_implicit_beats_unrolled_when_truncated(self):
+        """At a stressed geometry with a TRUNCATED inner solve, the
+        implicit Jacobian stays close to the fully-converged reference
+        Jacobian; the unrolled tape drifts further."""
+        rng = np.random.default_rng(3)
+        # short-baseline cameras -> ill-conditioned triangulation
+        poses = []
+        for i in range(4):
+            t = np.array([i * 0.02, 0.0, 0.0])
+            poses.append(np.concatenate([np.eye(3), t[:, None]], axis=1))
+        poses = jnp.asarray(np.asarray(poses))
+        point = np.array([0.4, -0.2, 6.0])
+        uv = []
+        for p in np.asarray(poses):
+            pc = np.asarray(se3.transform_to(jnp.asarray(p),
+                                             jnp.asarray(point)))
+            uv.append(pc[:2] / pc[2])
+        uv = jnp.asarray(np.asarray(uv) + 2e-3 * rng.normal(size=(4, 2)))
+
+        x0 = jnp.zeros(24)
+        # reference: fully converged inner solve, implicit diff
+        f_ref = self._jacobians(poses, uv, refine_iters=50, implicit=True)
+        J_ref = np.asarray(jax.jacfwd(f_ref)(x0))
+        f_imp = self._jacobians(poses, uv, refine_iters=2, implicit=True)
+        J_imp = np.asarray(jax.jacfwd(f_imp)(x0))
+        f_unr = self._jacobians(poses, uv, refine_iters=2, implicit=False)
+        J_unr = np.asarray(jax.jacfwd(f_unr)(x0))
+        err_imp = np.abs(J_imp - J_ref).max()
+        err_unr = np.abs(J_unr - J_ref).max()
+        assert err_imp <= err_unr + 1e-12, (err_imp, err_unr)
+        assert err_imp < 0.05 * max(np.abs(J_ref).max(), 1e-12), \
+            (err_imp, np.abs(J_ref).max())
