@@ -61,7 +61,17 @@ class DistPackLayout(NamedTuple):
     """Per-device packed-tile layouts stacked on a leading mesh axis, all
     sharing ONE class geometry (dims). Dead-slot sentinels: cam slots ->
     Cl, point slots -> P_slots, flat cam -> S, flat pt -> 8*PTC, boundary
-    -> Ps, point ids -> P."""
+    -> Ps, point ids -> P.
+
+    Cameras are dealt to devices ROUND-ROBIN by descending observation
+    count (balanced=True): per-class populations then differ by at most 1
+    across shards, so the shared (max-over-shards) geometry pads barely
+    more than the single-device layout even under Zipf camera skew —
+    contiguous dealing concentrates the big cameras on one shard and
+    re-pays multiples of the padding the pack layout eliminated.
+    cam_new2orig / cam_orig2new carry the device permutation; the solve
+    applies it to the replicated camera tables at entry and inverts it on
+    the returned xc."""
     uv_cm: jnp.ndarray         # [n, 2, S]
     cam_mask: jnp.ndarray      # [n, S]
     pt_srt_cm: jnp.ndarray     # [n, S]   local point slot per cam slot
@@ -73,6 +83,8 @@ class DistPackLayout(NamedTuple):
     b2l: jnp.ndarray           # [n, Ps]  boundary idx -> local pt slot
     l2b: jnp.ndarray           # [n, P_slots] local pt slot -> boundary idx
     own_gather: jnp.ndarray    # [n, P]   global pt id -> local slot if owned
+    cam_new2orig: jnp.ndarray  # [n*Cl] device-order slot -> padded-state row
+    cam_orig2new: jnp.ndarray  # [n*Cl] padded-state row -> device-order slot
     dims: tuple  # (n, Cl, rowsC, PTC, C_slots, P_slots, Ps, P,
                  #  cam_classes, pt_classes) — classes in ba_pack format
 
@@ -134,18 +146,35 @@ def _pos_within(ids, n_entities):
 
 
 def build_dist_pack_layout(obs: ba.BAObservations, C: int, P: int, n: int,
-                           dtype=np.float32) -> DistPackLayout:
+                           dtype=np.float32,
+                           balanced: bool = True) -> DistPackLayout:
     """Host-side: shared-geometry packed-tile layout per device."""
     cam = np.asarray(obs.cam, dtype=np.int64)
     pt = np.asarray(obs.point, dtype=np.int64)
     uv = np.asarray(obs.uv)
     M = cam.shape[0]
     Cl = -(-C // n)
-    dev_of_cam = np.minimum(np.arange(C) // Cl, n - 1)
+    cnt_c = np.bincount(cam, minlength=C)
+    if balanced:
+        # round-robin by descending count: per-class shard populations
+        # differ by <= 1, so the max-over-shards geometry stays tight
+        order_by_cnt = np.argsort(-cnt_c, kind="stable")
+        dev_of_cam = np.empty(C, dtype=np.int64)
+        loc_of_cam = np.empty(C, dtype=np.int64)
+        dev_of_cam[order_by_cnt] = np.arange(C) % n
+        loc_of_cam[order_by_cnt] = np.arange(C) // n
+    else:
+        dev_of_cam = np.minimum(np.arange(C) // Cl, n - 1)
+        loc_of_cam = np.arange(C) - dev_of_cam * Cl
+    cam_new2orig = np.full(n * Cl, -1, dtype=np.int64)
+    cam_new2orig[dev_of_cam * Cl + loc_of_cam] = np.arange(C)
+    virt = np.where(cam_new2orig < 0)[0]
+    cam_new2orig[virt] = C + np.arange(len(virt))   # padded identity rows
+    cam_orig2new = np.empty(n * Cl, dtype=np.int64)
+    cam_orig2new[cam_new2orig] = np.arange(n * Cl)
     dev = dev_of_cam[cam]                      # per-obs device
 
     # ---- camera side: global counts (never split across devices) ----
-    cnt_c = np.bincount(cam, minlength=C)
     caps_c = np.asarray(_ladder(max(int(cnt_c.max()), 1),
                                 (CAM_W // 4, CAM_W // 2), CAM_W))
     cap_cam = caps_c[np.searchsorted(caps_c, np.maximum(cnt_c, 1))]
@@ -246,8 +275,8 @@ def build_dist_pack_layout(obs: ba.BAObservations, C: int, P: int, n: int,
     c2p_tp[dev, flat_cam] = flat_pt
     p2c_tp[dev, flat_pt] = flat_cam
 
-    cam_slot2loc[dev_of_cam, cam_slot] = np.arange(C) - dev_of_cam * Cl
-    cam_loc2slot[dev_of_cam, np.arange(C) - dev_of_cam * Cl] = cam_slot
+    cam_slot2loc[dev_of_cam, cam_slot] = loc_of_cam
+    cam_loc2slot[dev_of_cam, loc_of_cam] = cam_slot
 
     pt_slot2orig[d_u, pt_slot_u] = p_u
     is_b = bidx_of_p[p_u] < Ps
@@ -261,6 +290,7 @@ def build_dist_pack_layout(obs: ba.BAObservations, C: int, P: int, n: int,
         j(uv_cm), j(cam_mask), j(pt_srt_cm), j(c2p_tp),
         j(p2c_tp.reshape(n, PT_H, PTC)), j(cam_slot2loc), j(cam_loc2slot),
         j(pt_slot2orig), j(b2l), j(l2b), j(own_gather),
+        j(cam_new2orig), j(cam_orig2new),
         (n, Cl, rowsC, PTC, C_slots, P_slots, Ps, P,
          tuple(cam_classes), tuple(pt_classes)))
 
@@ -373,25 +403,29 @@ def _solve_body(dims, axis, cg_maxiter, cg_tol, skip_collectives,
         return jnp.stack([sum(Jp4[i, k] * ub[k] for k in range(3))
                           for i in range(2)])
 
-    # ---- landmark system (boundary psum'd, exclusive local) ----
-    Hpp = psum_bnd(_pt_reduce(geo, jnp.stack([
+    # ---- landmark system: Hpp_raw and gp share ONE boundary psum ----
+    Hpp_raw = _pt_reduce(geo, jnp.stack([
         sum(Jp4[i, k] * Jp4[i, l] for i in range(2))
-        for k in range(3) for l in range(3)])))          # [9, P_slots]
-    Hpp = bk.add_scaled_identity_33_T(Hpp, lam + 1e-10)
+        for k in range(3) for l in range(3)]))           # [9, P_slots]
+    gp_loc = pt_reduce(r_pm)                             # [3, P_slots]
+    hpgp = psum_bnd(jnp.concatenate([Hpp_raw, gp_loc], axis=0))
+    Hpp = bk.add_scaled_identity_33_T(hpgp[:9], lam + 1e-10)
+    gp = hpgp[9:]
     HppInv = bk.sym33_inv_T(Hpp)
 
     gc = cam_reduce(r)                                   # [9, C_slots] local
-    gp = psum_bnd(pt_reduce(r_pm))                       # [3, P_slots]
 
     hp = bk.sym33_matvec_T(HppInv, gp)
     b_rhs = -gc + cam_reduce(point_to_cam(pt_apply(hp)))
 
-    def schur_matvec(x):
+    def schur_matvec_t(x):
+        """Returns (S x + lam x, E^T F x) — the second output feeds the
+        fused back-substitution accumulator (see ba_pack._solve_from_lin)."""
         a = cam_apply(x)
         t = psum_bnd(pt_reduce(cam_to_point(a)))
         u = bk.sym33_matvec_T(HppInv, t)
         bc = point_to_cam(pt_apply(u))
-        return cam_reduce(a - bc) + lam * x
+        return cam_reduce(a - bc) + lam * x, t
 
     # ---- per-camera block-Jacobi preconditioner (device-local blocks,
     # global HppInv) — identical math to the single-device packed path ----
@@ -421,28 +455,31 @@ def _solve_body(dims, axis, cg_maxiter, cg_tol, skip_collectives,
     rz0 = pdot(b_rhs, z0)
     bb = pdot(b_rhs, b_rhs)
     thr = (cg_tol ** 2) * bb
+    tacc0 = jnp.zeros_like(gp)
 
     def cond(s):
-        k, x, rr, z, pp, rz, rr2 = s
+        k, x, rr, z, pp, rz, rr2, tacc = s
         return jnp.logical_and(k < cg_maxiter, rr2 > thr)
 
     def body(s):
-        k, x, rr, z, pp, rz, _ = s
-        Ap = schur_matvec(pp)
+        k, x, rr, z, pp, rz, _, tacc = s
+        Ap, tp = schur_matvec_t(pp)
         pAp = pdot(pp, Ap)
         alpha = jnp.where(pAp > 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
         x = x + alpha * pp
+        tacc = tacc + alpha * tp
         rr = rr - alpha * Ap
         z = precond(rr)
         rz_new = pdot(rr, z)
         beta = rz_new / jnp.where(rz != 0, rz, 1.0)
-        return k + 1, x, rr, z, z + beta * pp, rz_new, pdot(rr, rr)
+        return (k + 1, x, rr, z, z + beta * pp, rz_new, pdot(rr, rr), tacc)
 
-    _, xc, *_ = lax.while_loop(cond, body, (0, x0, b_rhs, z0, z0, rz0, bb))
+    _, xc, _, _, _, _, _, tacc = lax.while_loop(
+        cond, body, (0, x0, b_rhs, z0, z0, rz0, bb, tacc0))
 
-    # ---- landmark back-substitution + ownership-masked assembly ----
-    t = psum_bnd(pt_reduce(cam_to_point(cam_apply(xc))))
-    xp_loc = bk.sym33_matvec_T(HppInv, -gp - t)          # [3, P_slots]
+    # ---- landmark back-substitution from the fused accumulator (exact by
+    # linearity: tacc == E^T F xc; saves a whole matvec + boundary psum) ----
+    xp_loc = bk.sym33_matvec_T(HppInv, -gp - tacc)       # [3, P_slots]
     xp_pad = jnp.concatenate([xp_loc, jnp.zeros((3, 1), dtype=dtype)], axis=1)
     xp = psum(xp_pad[:, own_gather])                     # [3, P] original order
 
@@ -464,10 +501,15 @@ def dist_pack_solve_step(state_pad: ba.BAState, dpl: DistPackLayout, lam,
         out_specs=(P_(axis), P_()),
         check_vma=False)
     lam = jnp.asarray(lam, dtype=state_pad.points.dtype)
-    return mapped(state_pad.cam_poses, state_pad.cam_cals, state_pad.points,
-                  lam, dpl.uv_cm, dpl.cam_mask, dpl.pt_srt_cm, dpl.c2p_tp,
-                  dpl.p2c_tp, dpl.cam_slot2loc, dpl.cam_loc2slot,
-                  dpl.pt_slot2orig, dpl.b2l, dpl.l2b, dpl.own_gather)
+    # replicated camera tables permuted to device order; xc un-permuted back
+    poses_n = state_pad.cam_poses[dpl.cam_new2orig]
+    cals_n = state_pad.cam_cals[dpl.cam_new2orig]
+    xc_new, xp = mapped(poses_n, cals_n, state_pad.points,
+                        lam, dpl.uv_cm, dpl.cam_mask, dpl.pt_srt_cm,
+                        dpl.c2p_tp, dpl.p2c_tp, dpl.cam_slot2loc,
+                        dpl.cam_loc2slot, dpl.pt_slot2orig, dpl.b2l,
+                        dpl.l2b, dpl.own_gather)
+    return xc_new[dpl.cam_orig2new], xp
 
 
 def dist_pack_try_step(state_pad: ba.BAState, obs: ba.BAObservations,
