@@ -24,6 +24,13 @@ from gtsam_personal_tpu.core.values import Values
 from gtsam_personal_tpu.linear.linearize import linearize_batch
 from gtsam_personal_tpu.linear.noise import NoiseModel
 
+# jitted + cached: marginalize() runs per eviction in streaming use
+# (ISAM2.marginalize_variables); an eager linearize_batch re-traces the
+# vmapped jacfwd EVERY call and dominated the eviction cost (measured
+# ~0.7 s/eviction of pure tracing on a toy chain; the jit cache keys on
+# batch structure + shapes, which are stable along a stream)
+_linearize_batch_jit = jax.jit(linearize_batch)
+
 
 def make_marginal_residual(groups: Tuple[str, ...]):
     ms = [manifolds.get(g) for g in groups]
@@ -100,7 +107,7 @@ def marginalize(graph: FactorGraph, values: Values,
     gv = np.zeros(D)
     for b, rows in involved:
         sub = _select(b, rows)
-        lb = linearize_batch(sub, values)
+        lb = _linearize_batch_jit(sub, values)
         sgn = getattr(lb, "sign", 1.0)  # AntiFactor batches SUBTRACT info
         idx = np.asarray(sub.idx)
         for k in range(idx.shape[0]):
@@ -174,7 +181,7 @@ def graph_info_on(graph: FactorGraph, values: Values,
     H = np.zeros((D, D))
     gv = np.zeros(D)
     for b in graph.batches:
-        lb = linearize_batch(b, values)
+        lb = _linearize_batch_jit(b, values)
         sgn = getattr(lb, "sign", 1.0)  # AntiFactor batches SUBTRACT info
         idx = np.asarray(b.idx)
         dims = [manifolds.get(g).dim for g in b.groups]
