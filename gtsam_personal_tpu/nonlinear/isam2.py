@@ -910,6 +910,22 @@ def _chain_factorize(Dbd, O, nvar, lam):
     return Uinv, Om
 
 
+def _mm_unrolled(A, B):
+    """Batched small matmul as broadcast-multiply + reduce. On TPU an
+    einsum/dot of f32 inputs lowers to bf16 MXU passes; the chain
+    preconditioner's parallel-prefix RECURRENCE multiplies thousands of
+    these blocks together, and bf16 error compounds to NaN at City10000
+    scale (full 10k fp32 run on the real chip diverged; the identical fp32
+    run on CPU — true f32 arithmetic — reaches the batch optimum). The
+    elementwise form stays on the VPU in full f32 (the CLAUDE.md
+    'unroll small contractions' rule)."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def _mv_unrolled(M, v):
+    return jnp.sum(M * v[..., None, :], axis=-1)
+
+
 def _affine_scan(M, c, reverse=False):
     """Solve the first-order recurrence z_i = M_i z_{i-1} + c_i for all i via
     associative_scan (O(log N) depth, fully vectorized: the reason chain
@@ -917,8 +933,7 @@ def _affine_scan(M, c, reverse=False):
     def combine(a, b):
         Ma, ca = a
         Mb, cb = b
-        return (jnp.einsum("...ij,...jk->...ik", Mb, Ma),
-                jnp.einsum("...ij,...j->...i", Mb, ca) + cb)
+        return (_mm_unrolled(Mb, Ma), _mv_unrolled(Mb, ca) + cb)
 
     _, z = jax.lax.associative_scan(combine, (M, c), reverse=reverse, axis=0)
     return z
@@ -933,11 +948,11 @@ def _chain_apply(Uinv, Om, r_fm):
     Uinv_prev = jnp.concatenate([jnp.eye(d, dtype=Uinv.dtype)[None],
                                  Uinv[:-1]])
     # forward: z_i = r_i - O_{i-1}^T U_{i-1} z_{i-1}
-    Mf = -jnp.einsum("nij,njk->nik", jnp.swapaxes(Oprev, 1, 2), Uinv_prev)
+    Mf = -_mm_unrolled(jnp.swapaxes(Oprev, 1, 2), Uinv_prev)
     z = _affine_scan(Mf, r)
     # backward: x_i = U_i z_i - U_i O_i x_{i+1}
-    Mb = -jnp.einsum("nij,njk->nik", Uinv, Om)
-    cb = jnp.einsum("nij,nj->ni", Uinv, z)
+    Mb = -_mm_unrolled(Uinv, Om)
+    cb = _mv_unrolled(Uinv, z)
     # reverse recurrence: x_i depends on x_{i+1}
     x = _affine_scan(Mb, cb, reverse=True)
     return x.T
