@@ -43,6 +43,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P_
 from jax import shard_map
 
+from gtsam_personal_tpu.geometry import se3
 from gtsam_personal_tpu.sfm import ba, ba_kernels as bk
 from gtsam_personal_tpu.sfm.ba_bucket import _analytic_rJ
 from gtsam_personal_tpu.sfm.ba_pack import (
@@ -310,21 +311,17 @@ def padding_waste(dpl: DistPackLayout, M: int):
 # per-device solve body
 # ---------------------------------------------------------------------------
 
-def _solve_body(dims, axis, cg_maxiter, cg_tol, skip_collectives,
-                poses, cals, points, lam,
-                uv_cm, cam_mask, pt_srt_cm, c2p_tp, p2c_tp,
-                cam_slot2loc, cam_loc2slot, pt_slot2orig, b2l, l2b,
-                own_gather):
+def _device_kernels(dims, axis, skip_collectives, arrays):
+    """Per-device closures over one shard's layout arrays (leading device
+    axis already present; this runs INSIDE shard_map). Shared by the
+    one-shot solve body and the full LM scan body."""
     n, Cl, rowsC, PTC, C_slots, P_slots, Ps, P, cam_classes, pt_classes = dims
-    S = rowsC * CAM_W
-    dtype = points.dtype
     sq = lambda x: x.reshape(x.shape[1:])
-    uv_cm, cam_mask, pt_srt_cm = sq(uv_cm), sq(cam_mask), sq(pt_srt_cm)
-    c2p_tp, p2c_tp = sq(c2p_tp), sq(p2c_tp)
-    cam_slot2loc, cam_loc2slot = sq(cam_slot2loc), sq(cam_loc2slot)
-    pt_slot2orig, b2l, l2b = sq(pt_slot2orig), sq(b2l), sq(l2b)
-    own_gather = sq(own_gather)
+    (uv_cm, cam_mask, pt_srt_cm, c2p_tp, p2c_tp, cam_slot2loc, cam_loc2slot,
+     pt_slot2orig, b2l, l2b, own_gather) = [sq(x) for x in arrays]
+    S = rowsC * CAM_W
     geo = _Geo(cam_classes, pt_classes)
+    dtype = uv_cm.dtype
     psum = ((lambda x: x) if skip_collectives
             else (lambda x: lax.psum(x, axis)))
 
@@ -347,28 +344,34 @@ def _solve_body(dims, axis, cg_maxiter, cg_tol, skip_collectives,
 
     d = lax.axis_index(axis)
 
-    # ---- local packed linearization ----
-    poses_l = lax.dynamic_slice_in_dim(poses, d * Cl, Cl)
-    cals_l = lax.dynamic_slice_in_dim(cals, d * Cl, Cl)
-    ident = jnp.concatenate([jnp.eye(3, dtype=dtype),
-                             jnp.zeros((3, 1), dtype=dtype)], axis=1)[None]
-    poses_pad = jnp.concatenate([poses_l, ident])
-    cals_pad = jnp.concatenate([cals_l,
-                                jnp.array([[1.0, 0.0, 0.0]], dtype=dtype)])
-    poses_s = poses_pad[cam_slot2loc]                    # [C_slots, 3, 4]
-    cals_s = cals_pad[cam_slot2loc]
-    posesT = _cam_broadcast(geo, poses_s.transpose(1, 2, 0))    # [3, 4, S]
-    calsT = _cam_broadcast(geo, cals_s.T)                       # [3, S]
-    pts_pad = jnp.concatenate([points.astype(dtype).T,
-                               jnp.zeros((3, 1), dtype=dtype)], axis=1)
-    pts_slot = pts_pad[:, pt_slot2orig]                  # [3, P_slots]
-    pts_slot1 = jnp.concatenate([pts_slot, jnp.zeros((3, 1), dtype=dtype)],
-                                axis=1)
-    pts_cm = pts_slot1[:, pt_srt_cm]                     # [3, S]
-    r, Jc, Jp, depth = _analytic_rJ(posesT, calsT, pts_cm,
-                                    uv_cm.astype(dtype), dtype)
-    w = (depth > 1e-6).astype(dtype) * cam_mask.astype(dtype)
-    r, Jc, Jp_cm = r * w, Jc * w, Jp * w
+    def tables(poses, cals, points):
+        """Replicated global state -> this device's broadcast tables."""
+        poses_l = lax.dynamic_slice_in_dim(poses, d * Cl, Cl)
+        cals_l = lax.dynamic_slice_in_dim(cals, d * Cl, Cl)
+        ident = jnp.concatenate([jnp.eye(3, dtype=dtype),
+                                 jnp.zeros((3, 1), dtype=dtype)],
+                                axis=1)[None]
+        poses_pad = jnp.concatenate([poses_l, ident])
+        cals_pad = jnp.concatenate(
+            [cals_l, jnp.array([[1.0, 0.0, 0.0]], dtype=dtype)])
+        poses_s = poses_pad[cam_slot2loc]                # [C_slots, 3, 4]
+        cals_s = cals_pad[cam_slot2loc]
+        posesT = _cam_broadcast(geo, poses_s.transpose(1, 2, 0))   # [3,4,S]
+        calsT = _cam_broadcast(geo, cals_s.T)                      # [3, S]
+        pts_pad = jnp.concatenate([points.astype(dtype).T,
+                                   jnp.zeros((3, 1), dtype=dtype)], axis=1)
+        pts_slot = pts_pad[:, pt_slot2orig]              # [3, P_slots]
+        pts_slot1 = jnp.concatenate(
+            [pts_slot, jnp.zeros((3, 1), dtype=dtype)], axis=1)
+        pts_cm = pts_slot1[:, pt_srt_cm]                 # [3, S]
+        return posesT, calsT, pts_cm
+
+    def linearize(poses, cals, points):
+        posesT, calsT, pts_cm = tables(poses, cals, points)
+        r, Jc, Jp, depth = _analytic_rJ(posesT, calsT, pts_cm,
+                                        uv_cm.astype(dtype), dtype)
+        w = (depth > 1e-6).astype(dtype) * cam_mask.astype(dtype)
+        return r * w, Jc * w, Jp * w
 
     def cam_to_point(x):                                 # [k, S] -> [k,8,PTC]
         k = x.shape[0]
@@ -381,111 +384,245 @@ def _solve_body(dims, axis, cg_maxiter, cg_tol, skip_collectives,
                                 jnp.zeros((k, 1), dtype=dtype)], axis=1)
         return flat[:, c2p_tp]
 
-    pm = cam_to_point(jnp.concatenate([Jp_cm.reshape(6, S), r], axis=0))
-    Jp4 = pm[:6].reshape(2, 3, PT_H, PTC)
-    r_pm = pm[6:]
+    def relayout(lin):
+        r, Jc, Jp_cm = lin
+        pm = cam_to_point(jnp.concatenate([Jp_cm.reshape(6, S), r], axis=0))
+        return pm[:6].reshape(2, 3, PT_H, PTC), pm[6:]
 
-    def cam_apply(x):                                    # [9, Cs] -> [2, S]
-        xb = _cam_broadcast(geo, x)
-        return jnp.stack([sum(Jc[i, j] * xb[j] for j in range(9))
-                          for i in range(2)])
+    def reduce_cache(lin, pm):
+        """Lambda-independent reductions (cached across rejected lambda
+        tries, like ba_pack._reduce_cache — including the boundary psum of
+        the landmark blocks/gradient, so rejects skip that collective):
+        hpgp [12, P_slots] (undamped Hpp blocks + gp, post-psum),
+        gc [9, C_slots] local, Hcc [81, C_slots] local."""
+        r, Jc, Jp_cm = lin
+        Jp4, r_pm = pm
+        Hpp_raw = _pt_reduce(geo, jnp.stack([
+            sum(Jp4[i, k] * Jp4[i, l] for i in range(2))
+            for k in range(3) for l in range(3)]))
+        gp_loc = _pt_reduce(geo, jnp.stack([
+            sum(Jp4[i, k] * r_pm[i] for i in range(2)) for k in range(3)]))
+        hpgp = psum_bnd(jnp.concatenate([Hpp_raw, gp_loc], axis=0))
+        gc = _cam_reduce(geo, jnp.stack([
+            sum(Jc[i, j] * r[i] for i in range(2)) for j in range(9)]))
+        Hcc = _cam_reduce(geo, jnp.stack([
+            sum(Jc[i, j] * Jc[i, k] for i in range(2))
+            for j in range(9) for k in range(9)]))
+        return hpgp, gc, Hcc
 
-    def cam_reduce(u):                                   # [2, S] -> [9, Cs]
-        return _cam_reduce(geo, jnp.stack([
-            sum(Jc[i, j] * u[i] for i in range(2)) for j in range(9)]))
+    def solve_from_lin(lin, pm, red, lam, cg_maxiter, cg_tol):
+        """Distributed implicit-Schur PCG from a (possibly cached)
+        linearization. Returns (xc [9, C_slots], xp_loc [3, P_slots])."""
+        r, Jc, Jp_cm = lin
+        Jp4, r_pm = pm
+        hpgp, gc, Hcc = red
+        Hpp = bk.add_scaled_identity_33_T(hpgp[:9], lam + 1e-10)
+        gp = hpgp[9:]
+        HppInv = bk.sym33_inv_T(Hpp)
 
-    def pt_reduce(ap):                                   # [2,8,PTC] -> [3,Ps_l]
-        return _pt_reduce(geo, jnp.stack([
-            sum(Jp4[i, k] * ap[i] for i in range(2)) for k in range(3)]))
+        def cam_apply(x):                                # [9, Cs] -> [2, S]
+            xb = _cam_broadcast(geo, x)
+            return jnp.stack([sum(Jc[i, j] * xb[j] for j in range(9))
+                              for i in range(2)])
 
-    def pt_apply(u):                                     # [3,Ps_l] -> [2,8,PTC]
-        ub = _pt_broadcast(geo, u)
-        return jnp.stack([sum(Jp4[i, k] * ub[k] for k in range(3))
-                          for i in range(2)])
+        def cam_reduce(u):                               # [2, S] -> [9, Cs]
+            return _cam_reduce(geo, jnp.stack([
+                sum(Jc[i, j] * u[i] for i in range(2)) for j in range(9)]))
 
-    # ---- landmark system: Hpp_raw and gp share ONE boundary psum ----
-    Hpp_raw = _pt_reduce(geo, jnp.stack([
-        sum(Jp4[i, k] * Jp4[i, l] for i in range(2))
-        for k in range(3) for l in range(3)]))           # [9, P_slots]
-    gp_loc = pt_reduce(r_pm)                             # [3, P_slots]
-    hpgp = psum_bnd(jnp.concatenate([Hpp_raw, gp_loc], axis=0))
-    Hpp = bk.add_scaled_identity_33_T(hpgp[:9], lam + 1e-10)
-    gp = hpgp[9:]
-    HppInv = bk.sym33_inv_T(Hpp)
+        def pt_reduce(ap):                               # [2,8,PTC]->[3,Ps_l]
+            return _pt_reduce(geo, jnp.stack([
+                sum(Jp4[i, k] * ap[i] for i in range(2))
+                for k in range(3)]))
 
-    gc = cam_reduce(r)                                   # [9, C_slots] local
+        def pt_apply(u):                                 # [3,Ps_l]->[2,8,PTC]
+            ub = _pt_broadcast(geo, u)
+            return jnp.stack([sum(Jp4[i, k] * ub[k] for k in range(3))
+                              for i in range(2)])
 
-    hp = bk.sym33_matvec_T(HppInv, gp)
-    b_rhs = -gc + cam_reduce(point_to_cam(pt_apply(hp)))
+        hp = bk.sym33_matvec_T(HppInv, gp)
+        b_rhs = -gc + cam_reduce(point_to_cam(pt_apply(hp)))
 
-    def schur_matvec_t(x):
-        """Returns (S x + lam x, E^T F x) — the second output feeds the
-        fused back-substitution accumulator (see ba_pack._solve_from_lin)."""
-        a = cam_apply(x)
-        t = psum_bnd(pt_reduce(cam_to_point(a)))
-        u = bk.sym33_matvec_T(HppInv, t)
-        bc = point_to_cam(pt_apply(u))
-        return cam_reduce(a - bc) + lam * x, t
+        def schur_matvec_t(x):
+            """(S x + lam x, E^T F x) — the second output feeds the fused
+            back-substitution accumulator (ba_pack._solve_from_lin)."""
+            a = cam_apply(x)
+            t = psum_bnd(pt_reduce(cam_to_point(a)))
+            u = bk.sym33_matvec_T(HppInv, t)
+            bc = point_to_cam(pt_apply(u))
+            return cam_reduce(a - bc) + lam * x, t
 
-    # ---- per-camera block-Jacobi preconditioner (device-local blocks,
-    # global HppInv) — identical math to the single-device packed path ----
-    HppInv_pad = jnp.concatenate([HppInv, jnp.zeros((9, 1), dtype=dtype)],
-                                 axis=1)
-    Hcc = _cam_reduce(geo, jnp.stack([
-        sum(Jc[i, j] * Jc[i, k] for i in range(2))
-        for j in range(9) for k in range(9)]))
-    Wt = [sum(Jc[i, a] * Jp_cm[i, b] for i in range(2))
-          for a in range(9) for b in range(3)]
-    Hi = HppInv_pad[:, pt_srt_cm]
-    T1 = [sum(Wt[3 * a + b] * Hi[3 * b + c] for b in range(3))
-          for a in range(9) for c in range(3)]
-    Gc = _cam_reduce(geo, jnp.stack([
-        sum(T1[3 * a + c] * Wt[3 * dd + c] for c in range(3))
-        for a in range(9) for dd in range(9)]))
-    blocks = (Hcc - Gc).T.reshape(C_slots, 9, 9)
-    Ls = bk.safe_chol_blocks(blocks, lam)
-    cho_apply = jax.vmap(lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
-    precond = lambda x: cho_apply(Ls, x.T).T
+        # per-camera block-Jacobi preconditioner (device-local blocks,
+        # global HppInv) — identical math to the single-device packed path
+        HppInv_pad = jnp.concatenate(
+            [HppInv, jnp.zeros((9, 1), dtype=dtype)], axis=1)
+        Wt = [sum(Jc[i, a] * Jp_cm[i, b] for i in range(2))
+              for a in range(9) for b in range(3)]
+        Hi = HppInv_pad[:, pt_srt_cm]
+        T1 = [sum(Wt[3 * a + b] * Hi[3 * b + c] for b in range(3))
+              for a in range(9) for c in range(3)]
+        Gc = _cam_reduce(geo, jnp.stack([
+            sum(T1[3 * a + c] * Wt[3 * dd + c] for c in range(3))
+            for a in range(9) for dd in range(9)]))
+        blocks = (Hcc - Gc).T.reshape(C_slots, 9, 9)
+        Ls = bk.safe_chol_blocks(blocks, lam)
+        cho_apply = jax.vmap(
+            lambda L, x: jax.scipy.linalg.cho_solve((L, True), x))
+        precond = lambda x: cho_apply(Ls, x.T).T
 
-    # ---- PCG with psum'd dot products (ba.pcg formulas; collectives in
-    # the loop BODY, condition reads carried replicated scalars) ----
-    pdot = lambda a, bv: psum(jnp.vdot(a, bv))
-    x0 = jnp.zeros_like(b_rhs)
-    z0 = precond(b_rhs)
-    rz0 = pdot(b_rhs, z0)
-    bb = pdot(b_rhs, b_rhs)
-    thr = (cg_tol ** 2) * bb
-    tacc0 = jnp.zeros_like(gp)
+        # PCG with psum'd dot products + fused E^T F x accumulator
+        pdot = lambda a, bv: psum(jnp.vdot(a, bv))
+        x0 = jnp.zeros_like(b_rhs)
+        z0 = precond(b_rhs)
+        rz0 = pdot(b_rhs, z0)
+        bb = pdot(b_rhs, b_rhs)
+        thr = (cg_tol ** 2) * bb
+        tacc0 = jnp.zeros_like(gp)
 
-    def cond(s):
-        k, x, rr, z, pp, rz, rr2, tacc = s
-        return jnp.logical_and(k < cg_maxiter, rr2 > thr)
+        def cond(s):
+            k, x, rr, z, pp, rz, rr2, tacc = s
+            return jnp.logical_and(k < cg_maxiter, rr2 > thr)
 
-    def body(s):
-        k, x, rr, z, pp, rz, _, tacc = s
-        Ap, tp = schur_matvec_t(pp)
-        pAp = pdot(pp, Ap)
-        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
-        x = x + alpha * pp
-        tacc = tacc + alpha * tp
-        rr = rr - alpha * Ap
-        z = precond(rr)
-        rz_new = pdot(rr, z)
-        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
-        return (k + 1, x, rr, z, z + beta * pp, rz_new, pdot(rr, rr), tacc)
+        def body(s):
+            k, x, rr, z, pp, rz, _, tacc = s
+            Ap, tp = schur_matvec_t(pp)
+            pAp = pdot(pp, Ap)
+            alpha = jnp.where(pAp > 0,
+                              rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+            x = x + alpha * pp
+            tacc = tacc + alpha * tp
+            rr = rr - alpha * Ap
+            z = precond(rr)
+            rz_new = pdot(rr, z)
+            beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+            return (k + 1, x, rr, z, z + beta * pp, rz_new,
+                    pdot(rr, rr), tacc)
 
-    _, xc, _, _, _, _, _, tacc = lax.while_loop(
-        cond, body, (0, x0, b_rhs, z0, z0, rz0, bb, tacc0))
+        _, xc, _, _, _, _, _, tacc = lax.while_loop(
+            cond, body, (0, x0, b_rhs, z0, z0, rz0, bb, tacc0))
+        xp_loc = bk.sym33_matvec_T(HppInv, -gp - tacc)   # [3, P_slots]
+        return xc, xp_loc
 
-    # ---- landmark back-substitution from the fused accumulator (exact by
-    # linearity: tacc == E^T F xc; saves a whole matvec + boundary psum) ----
-    xp_loc = bk.sym33_matvec_T(HppInv, -gp - tacc)       # [3, P_slots]
-    xp_pad = jnp.concatenate([xp_loc, jnp.zeros((3, 1), dtype=dtype)], axis=1)
-    xp = psum(xp_pad[:, own_gather])                     # [3, P] original order
+    def assemble_xp(xp_loc):
+        """Ownership-masked psum -> [3, P] in original point order."""
+        xp_pad = jnp.concatenate(
+            [xp_loc, jnp.zeros((3, 1), dtype=dtype)], axis=1)
+        return psum(xp_pad[:, own_gather])
 
-    xc_pad = jnp.concatenate([xc, jnp.zeros((9, 1), dtype=dtype)], axis=1)
-    xc_out = xc_pad[:, cam_loc2slot].T                   # [Cl, 9]
-    return xc_out, xp.T
+    def xc_local(xc):
+        """[9, C_slots] -> this device's [Cl, 9] camera tangents."""
+        xc_pad = jnp.concatenate(
+            [xc, jnp.zeros((9, 1), dtype=dtype)], axis=1)
+        return xc_pad[:, cam_loc2slot].T
+
+    def error(poses, cals, points):
+        """Global masked reprojection error: local sum + ONE scalar psum
+        (the vmapped matmul chain of ba_pack.ba_error_pk on this shard)."""
+        from gtsam_personal_tpu.geometry import cameras as cam_geo
+        posesT, calsT, pts_cm = tables(poses, cals, points)
+
+        def one(pose, cal, point, uv):
+            return (ba._residual_one(pose, cal, point, uv),
+                    cam_geo.depth_of(pose, point))
+
+        r, depth = jax.vmap(one, in_axes=(-1, -1, -1, -1),
+                            out_axes=(-1, -1))(
+            posesT.reshape(3, 4, -1), calsT, pts_cm, uv_cm.astype(dtype))
+        w = (depth > 1e-6).astype(dtype) * cam_mask.astype(dtype)
+        r = r * w
+        return psum(0.5 * jnp.sum(r * r))
+
+    def retract_global(poses, cals, points, xc, xp_loc):
+        """Each device retracts its OWN cameras; the replicated global
+        state is rebuilt with one psum of disjoint slices; landmarks via
+        the ownership-masked psum."""
+        xc_loc = xc_local(xc)                            # [Cl, 9]
+        poses_l = lax.dynamic_slice_in_dim(poses, d * Cl, Cl)
+        cals_l = lax.dynamic_slice_in_dim(cals, d * Cl, Cl)
+        new_poses_l = jax.vmap(se3.retract)(poses_l, xc_loc[:, :6])
+        new_cals_l = cals_l + xc_loc[:, 6:9]
+        new_poses = psum(lax.dynamic_update_slice_in_dim(
+            jnp.zeros_like(poses), new_poses_l, d * Cl, axis=0))
+        new_cals = psum(lax.dynamic_update_slice_in_dim(
+            jnp.zeros_like(cals), new_cals_l, d * Cl, axis=0))
+        new_points = points + assemble_xp(xp_loc).T
+        return new_poses, new_cals, new_points
+
+    class K:
+        pass
+
+    K.S, K.PTC, K.C_slots, K.P_slots = S, PTC, C_slots, P_slots
+    K.dtype = dtype
+    K.linearize = staticmethod(linearize)
+    K.relayout = staticmethod(relayout)
+    K.reduce_cache = staticmethod(reduce_cache)
+    K.solve_from_lin = staticmethod(solve_from_lin)
+    K.assemble_xp = staticmethod(assemble_xp)
+    K.xc_local = staticmethod(xc_local)
+    K.error = staticmethod(error)
+    K.retract_global = staticmethod(retract_global)
+    return K
+
+
+def _solve_body(dims, axis, cg_maxiter, cg_tol, skip_collectives,
+                poses, cals, points, lam, *arrays):
+    K = _device_kernels(dims, axis, skip_collectives, arrays)
+    lin = K.linearize(poses, cals, points)
+    pm = K.relayout(lin)
+    red = K.reduce_cache(lin, pm)
+    xc, xp_loc = K.solve_from_lin(lin, pm, red, lam, cg_maxiter, cg_tol)
+    return K.xc_local(xc), K.assemble_xp(xp_loc).T       # [Cl, 9], [P, 3]
+
+
+def _error_body(dims, axis, poses, cals, points, *arrays):
+    K = _device_kernels(dims, axis, False, arrays)
+    return K.error(poses, cals, points)
+
+
+def _lm_run_body(dims, axis, n_iters, cg_maxiter, cg_tol, lam_lo, lam_hi,
+                 poses, cals, points, lam, err, *arrays):
+    """The FULL flagship LM loop distributed: n_iters accept/reject
+    iterations with lambda adaptation and reject-try linearization caching
+    (ba_pack.ba_lm_run_pk semantics) as ONE lax.scan inside shard_map —
+    rejected tries skip the linearize, the relayout, and the cached
+    boundary psum of the landmark system."""
+    K = _device_kernels(dims, axis, False, arrays)
+    dtype = K.dtype
+    S, PTC, C_slots, P_slots = K.S, K.PTC, K.C_slots, K.P_slots
+    lin0 = (jnp.zeros((2, S), dtype), jnp.zeros((2, 9, S), dtype),
+            jnp.zeros((2, 3, S), dtype))
+    pm0 = (jnp.zeros((2, 3, PT_H, PTC), dtype),
+           jnp.zeros((2, PT_H, PTC), dtype))
+    red0 = (jnp.zeros((12, P_slots), dtype),
+            jnp.zeros((9, C_slots), dtype),
+            jnp.zeros((81, C_slots), dtype))
+
+    def fresh(args):
+        poses, cals, points = args
+        lin = K.linearize(poses, cals, points)
+        pm = K.relayout(lin)
+        return lin, pm, K.reduce_cache(lin, pm)
+
+    def body(carry, _):
+        poses, cals, points, lam, err, lin, pm, red, need = carry
+        lin, pm, red = jax.lax.cond(need, fresh,
+                                    lambda _: (lin, pm, red),
+                                    (poses, cals, points))
+        xc, xp_loc = K.solve_from_lin(lin, pm, red, lam, cg_maxiter, cg_tol)
+        tp_p, tp_c, tp_x = K.retract_global(poses, cals, points, xc, xp_loc)
+        err_t = K.error(tp_p, tp_c, tp_x)
+        ok = jnp.isfinite(err_t) & (err_t < err)
+        poses = jnp.where(ok, tp_p, poses)
+        cals = jnp.where(ok, tp_c, cals)
+        points = jnp.where(ok, tp_x, points)
+        err = jnp.where(ok, err_t, err)
+        lam = jnp.where(ok, jnp.maximum(lam * 0.5, lam_lo),
+                        jnp.minimum(lam * 4.0, lam_hi))
+        return (poses, cals, points, lam, err, lin, pm, red, ok), None
+
+    (poses, cals, points, lam, err, _, _, _, _), _ = jax.lax.scan(
+        body, (poses, cals, points, lam, err, lin0, pm0, red0,
+               jnp.asarray(True)), None, length=n_iters)
+    return poses, cals, points, lam, err
 
 
 def dist_pack_solve_step(state_pad: ba.BAState, dpl: DistPackLayout, lam,
@@ -510,6 +647,54 @@ def dist_pack_solve_step(state_pad: ba.BAState, dpl: DistPackLayout, lam,
                         dpl.cam_loc2slot, dpl.pt_slot2orig, dpl.b2l,
                         dpl.l2b, dpl.own_gather)
     return xc_new[dpl.cam_orig2new], xp
+
+
+def dist_pack_error(state_pad: ba.BAState, dpl: DistPackLayout, mesh: Mesh,
+                    axis: str = "dp"):
+    """Global BA error through the distributed kernels (one scalar psum)."""
+    body = partial(_error_body, dpl.dims, axis)
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P_(), P_(), P_()) + (P_(axis),) * 11,
+        out_specs=P_(), check_vma=False)
+    poses_n = state_pad.cam_poses[dpl.cam_new2orig]
+    cals_n = state_pad.cam_cals[dpl.cam_new2orig]
+    return mapped(poses_n, cals_n, state_pad.points,
+                  dpl.uv_cm, dpl.cam_mask, dpl.pt_srt_cm, dpl.c2p_tp,
+                  dpl.p2c_tp, dpl.cam_slot2loc, dpl.cam_loc2slot,
+                  dpl.pt_slot2orig, dpl.b2l, dpl.l2b, dpl.own_gather)
+
+
+def dist_pack_lm_run(state_pad: ba.BAState, dpl: DistPackLayout, lam, err,
+                     n_iters: int, mesh: Mesh, cg_maxiter=10, cg_tol=1e-6,
+                     lam_lo=1e-6, lam_hi=1e3, axis: str = "dp"):
+    """`n_iters` FULL LM iterations of the flagship packed engine,
+    DISTRIBUTED: one shard_map dispatch containing the whole lax.scan —
+    accept/reject + lambda adaptation + reject-try caching, with psums at
+    the landmark aggregates, CG dots, error, and state rebuild. The
+    multi-chip twin of ba_pack.ba_lm_run_pk. `err` must come from
+    dist_pack_error (the same masked reduction). Returns
+    (BAState in the ORIGINAL camera order, lam, err)."""
+    body = partial(_lm_run_body, dpl.dims, axis, n_iters, cg_maxiter,
+                   cg_tol, lam_lo, lam_hi)
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P_(), P_(), P_(), P_(), P_()) + (P_(axis),) * 11,
+        out_specs=(P_(), P_(), P_(), P_(), P_()),
+        check_vma=False)
+    dtype = state_pad.points.dtype
+    lam = jnp.asarray(lam, dtype=dtype)
+    err = jnp.asarray(err, dtype=dtype)
+    poses_n = state_pad.cam_poses[dpl.cam_new2orig]
+    cals_n = state_pad.cam_cals[dpl.cam_new2orig]
+    poses, cals, points, lam, err = mapped(
+        poses_n, cals_n, state_pad.points, lam, err,
+        dpl.uv_cm, dpl.cam_mask, dpl.pt_srt_cm, dpl.c2p_tp, dpl.p2c_tp,
+        dpl.cam_slot2loc, dpl.cam_loc2slot, dpl.pt_slot2orig, dpl.b2l,
+        dpl.l2b, dpl.own_gather)
+    state = ba.BAState(poses[dpl.cam_orig2new], cals[dpl.cam_orig2new],
+                       points)
+    return state, lam, err
 
 
 def dist_pack_try_step(state_pad: ba.BAState, obs: ba.BAObservations,

@@ -74,6 +74,32 @@ def test_dist_pack_lone_device(prob):
     np.testing.assert_allclose(np.asarray(xp), np.asarray(xp_ref), atol=1e-8)
 
 
+def test_dist_pack_lm_run_matches_single(prob, mesh8):
+    """The FULL distributed LM loop (accept/reject + lambda adaptation +
+    reject-try caching, one scan inside shard_map) tracks the single-device
+    ba_lm_run_pk iteration-for-iteration."""
+    state, obs, C, P = prob
+    pl = ba_pack.make_pack_layout(obs, C, P, dtype=np.float64)
+    lam0 = jnp.asarray(1e-3, dtype=state.points.dtype)
+    err0 = ba_pack.ba_error_pk(state, obs, pl)
+    st_ref, lam_ref, err_ref = ba_pack.ba_lm_run_pk(
+        state, obs, pl, lam0, err0, n_iters=5, cg_maxiter=8)
+
+    state_pad = dist_ba.pad_cameras(state, 8)
+    dpl = dist_ba_pack.build_dist_pack_layout(obs, C, P, 8, dtype=np.float64)
+    err0_d = dist_ba_pack.dist_pack_error(state_pad, dpl, mesh8)
+    np.testing.assert_allclose(float(err0_d), float(err0), rtol=1e-10)
+    st_d, lam_d, err_d = dist_ba_pack.dist_pack_lm_run(
+        state_pad, dpl, lam0, err0_d, n_iters=5, mesh=mesh8, cg_maxiter=8)
+    assert float(err_d) < float(err0)
+    np.testing.assert_allclose(float(err_d), float(err_ref), rtol=1e-8)
+    np.testing.assert_allclose(float(lam_d), float(lam_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_d.cam_poses)[:C],
+                               np.asarray(st_ref.cam_poses), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(st_d.points),
+                               np.asarray(st_ref.points), atol=1e-8)
+
+
 def test_dist_pack_padding_bounded(prob):
     """Shared-geometry padding must stay within a small factor of the
     single-device packed layout (the whole point of the global ladder)."""
