@@ -810,7 +810,9 @@ def _chain_factorize_m(Dm, Om, nvar, lam):
 
     def step(Uinv_prev, inp):
         Di, Oim1 = inp
-        Dt = Di - Oim1.T @ (Uinv_prev @ Oim1)
+        # _mm_unrolled, not @: the sequential factorization recurrence has
+        # the same bf16-MXU-compounding failure mode as the apply scans
+        Dt = Di - _mm_unrolled(Oim1.T, _mm_unrolled(Uinv_prev, Oim1))
         Uinv = jnp.linalg.inv(Dt)
         return Uinv, Uinv
 
@@ -901,7 +903,9 @@ def _chain_factorize(Dbd, O, nvar, lam):
 
     def step(Uinv_prev, inp):
         Di, Oim1 = inp
-        Dt = Di - Oim1.T @ (Uinv_prev @ Oim1)
+        # _mm_unrolled, not @: the sequential factorization recurrence has
+        # the same bf16-MXU-compounding failure mode as the apply scans
+        Dt = Di - _mm_unrolled(Oim1.T, _mm_unrolled(Uinv_prev, Oim1))
         Uinv = jnp.linalg.inv(Dt)
         return Uinv, Uinv
 
